@@ -1,0 +1,330 @@
+"""TPU-native Part-Affinity-Field decoder.
+
+This is a from-scratch, fixed-shape redesign of the reference's CPU PAF parser
+(reference: src/paf.cpp:300-375 `paf::process`, src/post_process.hpp:134-205
+`peak_finder_t`, hyperpose/Model/openpose/processor.py:68-235). Instead of
+dynamic peak lists, std::sort and sequential human merging on the host, every
+stage is expressed as a bounded-shape XLA computation so the whole decode runs
+on-device, batched, inside one `jit`:
+
+  1. upsample + Gaussian smooth + 3x3 same-max-pool peak NMS  -> top-K peaks
+     per part channel                 (replaces find_peak_coords, paf.cpp:337-345)
+  2. line-integral scoring of all KxK peak pairs per limb, 10 samples
+                                      (replaces get_connection_candidates, paf.cpp:95-137)
+  3. greedy connection NMS as a fori_loop over the top-T sorted candidates,
+     vectorized over (batch, limb)    (replaces get_connections, paf.cpp:234-272)
+  4. skeleton assembly as connected-component label propagation over the
+     accepted connection graph        (replaces get_humans' sequential
+                                       merge-by-membership, paf.cpp:146-232)
+  5. per-component part selection, scoring and filtering
+     (n_parts >= 4 and score/n_parts >= 0.4, paf.cpp:57-59,226-230)
+
+Known, intentional divergences from the reference (all rare tie cases):
+  * two part-sharing skeletons connected by an accepted edge are merged here
+    (connected components) whereas paf.cpp:183-187 refuses the merge; and a
+    part slot is resolved by max peak score instead of first-write order.
+  * peaks are capped at the top `max_peaks` per part by smoothed score.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .image import gaussian_smooth_nhwc, resize_nhwc, same_max_pool_3x3_nhwc
+from ..utils.topology import COCO_TOPOLOGY, Topology
+
+_NEG = -1e30  # sentinel for "invalid" in score arrays (avoid inf arithmetic)
+
+
+@dataclasses.dataclass(frozen=True)
+class PafDecoderConfig:
+    """Static decode parameters (all shape-affecting fields are Python ints)."""
+
+    n_parts: int = 18
+    n_limbs: int = 19
+    max_peaks: int = 32        # K: peaks kept per part channel
+    max_candidates: int = 80   # T: sorted connection candidates tried per limb
+    max_humans: int = 32
+    upsample: int = 4          # reference: paf.cpp:319-320 (4x feature map)
+    n_samples: int = 10        # STEP_PAF, paf.cpp:60
+    smooth_ksize: int = 17     # peak_finder ksize, paf.cpp:346
+    smooth_sigma: float = 3.0  # post_process.hpp:58
+    conf_thresh: float = 0.05  # paf.hpp:27
+    paf_thresh: float = 0.05
+    crit1_thresh: int = 8      # THRESH_VECTOR_CNT1, paf.cpp:55 (python eval uses 6)
+    min_parts: int = 4         # THRESH_PART_CNT
+    min_human_score: float = 0.4  # THRESH_HUMAN_SCORE (python eval uses 0.3)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DecodedSkeletons:
+    """Fixed-shape decode output (leading batch dim on every field)."""
+
+    coords: jax.Array       # [B, MAX_H, P, 2] normalized (x, y) in [0, 1]
+    part_scores: jax.Array  # [B, MAX_H, P]
+    part_valid: jax.Array   # [B, MAX_H, P] bool
+    scores: jax.Array       # [B, MAX_H]
+    valid: jax.Array        # [B, MAX_H] bool
+
+
+def find_peaks(
+    conf: jax.Array, cfg: PafDecoderConfig
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-K peak NMS over [B, H, W, P] confidence maps.
+
+    A peak is a pixel of the smoothed map that survives 3x3 same-max-pool NMS
+    and exceeds conf_thresh; its reported score is taken from the *unsmoothed*
+    map (reference: post_process.hpp:176-187).
+
+    Returns (peak_xy [B,P,K,2] int32, peak_score [B,P,K], peak_valid [B,P,K]).
+    """
+    b, h, w, p = conf.shape
+    k = cfg.max_peaks
+    smoothed = gaussian_smooth_nhwc(conf, cfg.smooth_ksize, cfg.smooth_sigma)
+    pooled = same_max_pool_3x3_nhwc(smoothed)
+    is_peak = (smoothed >= pooled) & (smoothed > cfg.conf_thresh)
+    # Plateau tie-break: upsampled maps can contain exact ties (symmetric
+    # blobs), and `==`-style NMS emits every tied pixel. Two adjacent
+    # survivors necessarily have equal values, so keep only the candidate
+    # whose pixel index is the maximum among candidates in its 3x3 window —
+    # an exact integer-space rule (no fp-epsilon tricks).
+    pix = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w, 1)
+    cand_idx = jnp.where(is_peak, pix, -1)
+    pooled_idx = lax.reduce_window(
+        jnp.broadcast_to(cand_idx, smoothed.shape),
+        jnp.int32(-1), lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME",
+    )
+    is_peak = is_peak & (pix == pooled_idx)
+
+    ranked = jnp.where(is_peak, smoothed, _NEG)           # [B,H,W,P]
+    flat = ranked.transpose(0, 3, 1, 2).reshape(b, p, h * w)
+    top_vals, top_idx = lax.top_k(flat, k)                # [B,P,K]
+    valid = top_vals > _NEG * 0.5
+    ys = top_idx // w
+    xs = top_idx % w
+    raw_flat = conf.transpose(0, 3, 1, 2).reshape(b, p, h * w)
+    scores = jnp.take_along_axis(raw_flat, top_idx, axis=-1)
+    xy = jnp.stack([xs, ys], axis=-1).astype(jnp.int32)
+    return xy, jnp.where(valid, scores, 0.0), valid
+
+
+def _limb_pair_scores(
+    paf: jax.Array,            # [H, W, 2L]
+    peak_xy: jax.Array,        # [P, K, 2]
+    peak_valid: jax.Array,     # [P, K]
+    limbs: jax.Array,          # [L, 2]
+    feat_h: int,
+    cfg: PafDecoderConfig,
+) -> jax.Array:
+    """Line-integral score of every (peak_a, peak_b) pair for every limb.
+
+    Returns cand_score [L, K, K] with invalid pairs set to _NEG.
+    (reference: src/paf.cpp:66-137)
+    """
+    h, w, _ = paf.shape
+    l, s, k = limbs.shape[0], cfg.n_samples, peak_xy.shape[1]
+    pa = peak_xy[limbs[:, 0]].astype(jnp.float32)  # [L,K,2]
+    pb = peak_xy[limbs[:, 1]].astype(jnp.float32)
+    va = peak_valid[limbs[:, 0]]                   # [L,K]
+    vb = peak_valid[limbs[:, 1]]
+
+    diff = pb[:, None, :, :] - pa[:, :, None, :]   # [L,K,K,2]
+    norm = jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # [L,K,K]
+    unit = diff / jnp.maximum(norm, 1e-12)[..., None]
+
+    # Sample positions: round(pa + i/S * diff), i in [0, S)  (paf.cpp:77-91).
+    ts = (jnp.arange(s, dtype=jnp.float32) / s).reshape(1, 1, 1, s, 1)
+    loc = pa[:, :, None, None, :] + ts * diff[:, :, :, None, :]
+    loc = jnp.floor(loc + 0.5).astype(jnp.int32)   # C++ int(v + 0.5)
+    lx = jnp.clip(loc[..., 0], 0, w - 1)
+    ly = jnp.clip(loc[..., 1], 0, h - 1)
+    flat_idx = (ly * w + lx).reshape(l, -1)         # [L, K*K*S]
+
+    # Per-limb PAF planes: [L, H*W] for x and y components, then one batched
+    # gather per component (fast path for XLA's gather lowering).
+    paf_cl = paf.reshape(h * w, 2 * l).T            # [2L, H*W]
+    px = jnp.take_along_axis(paf_cl[0::2], flat_idx, axis=1).reshape(l, k, k, s)
+    py = jnp.take_along_axis(paf_cl[1::2], flat_idx, axis=1).reshape(l, k, k, s)
+
+    dot = unit[..., 0:1] * px + unit[..., 1:2] * py  # [L,K,K,S]
+    crit1 = jnp.sum(dot > cfg.paf_thresh, axis=-1)
+    mean_score = jnp.sum(dot, axis=-1) / s
+    # Length penalty uses the PRE-upsample feature height (paf.cpp:129,352).
+    crit2 = mean_score + jnp.minimum(0.0, 0.5 * feat_h / jnp.maximum(norm, 1e-12) - 1.0)
+
+    ok = (
+        (crit1 > cfg.crit1_thresh)
+        & (crit2 > 0)
+        & (norm > 1e-6)
+        & va[:, :, None]
+        & vb[:, None, :]
+    )
+    return jnp.where(ok, crit2, _NEG)
+
+
+def _greedy_connections(
+    cand_score: jax.Array, cfg: PafDecoderConfig
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Greedy connection NMS per limb over sorted candidates.
+
+    Accept candidates best-first; a candidate is rejected if an accepted
+    connection of the same limb already uses its source or destination peak
+    (reference: src/paf.cpp:244-272). Runs as a T-step fori_loop whose body is
+    vectorized over all limbs at once.
+
+    Returns (src [L,T], dst [L,T], score [L,T], accepted [L,T] bool).
+    """
+    l, k, _ = cand_score.shape
+    t = cfg.max_candidates
+    flat = cand_score.reshape(l, k * k)
+    top_vals, top_idx = lax.top_k(flat, t)   # sorted desc per limb
+    src = (top_idx // k).astype(jnp.int32)
+    dst = (top_idx % k).astype(jnp.int32)
+    limb_ids = jnp.arange(l)
+
+    def body(i, state):
+        used_a, used_b, accepted = state
+        s_i = src[:, i]
+        d_i = dst[:, i]
+        ok = (
+            (top_vals[:, i] > _NEG * 0.5)
+            & ~used_a[limb_ids, s_i]
+            & ~used_b[limb_ids, d_i]
+        )
+        used_a = used_a.at[limb_ids, s_i].set(used_a[limb_ids, s_i] | ok)
+        used_b = used_b.at[limb_ids, d_i].set(used_b[limb_ids, d_i] | ok)
+        accepted = accepted.at[:, i].set(ok)
+        return used_a, used_b, accepted
+
+    init = (
+        jnp.zeros((l, k), jnp.bool_),
+        jnp.zeros((l, k), jnp.bool_),
+        jnp.zeros((l, t), jnp.bool_),
+    )
+    _, _, accepted = lax.fori_loop(0, t, body, init)
+    return src, dst, top_vals, accepted
+
+
+def _assemble(
+    src: jax.Array, dst: jax.Array, conn_score: jax.Array, accepted: jax.Array,
+    peak_xy: jax.Array, peak_score: jax.Array,
+    limbs: jax.Array, hw_up: tuple[int, int], cfg: PafDecoderConfig,
+):
+    """Group accepted connections into skeletons via label propagation.
+
+    Nodes are (part, peak-slot) pairs; accepted connections are edges; each
+    connected component is one human. Min-label propagation for P iterations
+    (>= graph diameter) replaces the reference's order-dependent sequential
+    merge (src/paf.cpp:146-232) with a fully vectorized equivalent.
+    """
+    p, k = cfg.n_parts, cfg.max_peaks
+    n = p * k
+    uf = (limbs[:, 0:1] * k + src).reshape(-1)   # [L*T]
+    vf = (limbs[:, 1:2] * k + dst).reshape(-1)
+    af = accepted.reshape(-1)
+    sf = jnp.where(af, conn_score.reshape(-1), 0.0)
+
+    labels0 = jnp.arange(n, dtype=jnp.int32)
+
+    def prop(_, labels):
+        m = jnp.where(af, jnp.minimum(labels[uf], labels[vf]), n)
+        labels = labels.at[uf].min(m)
+        labels = labels.at[vf].min(m)
+        return labels
+
+    labels = lax.fori_loop(0, p, prop, labels0)
+
+    in_edge = (
+        jnp.zeros((n,), jnp.bool_).at[uf].max(af).at[vf].max(af)
+    )
+    root_of = labels  # component id per node
+    conn_sum = jnp.zeros((n,), jnp.float32).at[root_of[uf]].add(sf)
+
+    # Per-component part presence and peak-score mass for ranking/filtering.
+    part_of_node = jnp.repeat(jnp.arange(p, dtype=jnp.int32), k)
+    presence = (
+        jnp.zeros((n * p,), jnp.bool_)
+        .at[root_of * p + part_of_node]
+        .max(in_edge)
+        .reshape(n, p)
+    )
+    n_parts_comp = jnp.sum(presence, axis=-1)
+    pscore_flat = peak_score.reshape(n)
+    peak_sum = jnp.zeros((n,), jnp.float32).at[root_of].add(
+        jnp.where(in_edge, pscore_flat, 0.0)
+    )
+    comp_score = peak_sum + conn_sum
+
+    is_root = (labels == labels0) & in_edge
+    keep = (
+        is_root
+        & (n_parts_comp >= cfg.min_parts)
+        & (comp_score / jnp.maximum(n_parts_comp, 1) >= cfg.min_human_score)
+    )
+    rank = jnp.where(keep, comp_score, _NEG)
+    top_scores, top_roots = lax.top_k(rank, cfg.max_humans)   # [MAX_H]
+    human_valid = top_scores > _NEG * 0.5
+
+    # Resolve each human's part slots: highest-scoring member peak per part.
+    member = (root_of[None, :] == top_roots[:, None]) & in_edge[None, :]
+    member = member.reshape(cfg.max_humans, p, k)
+    member_scores = jnp.where(member, peak_score[None], _NEG)
+    best_k = jnp.argmax(member_scores, axis=-1)               # [MAX_H, P]
+    part_score = jnp.max(member_scores, axis=-1)
+    part_valid = part_score > _NEG * 0.5
+    part_score = jnp.where(part_valid, part_score, 0.0)
+
+    xy = peak_xy[jnp.arange(p)[None, :], best_k]              # [MAX_H, P, 2]
+    h_up, w_up = hw_up
+    coords = xy.astype(jnp.float32) / jnp.array([w_up, h_up], jnp.float32)
+    coords = jnp.where(part_valid[..., None], coords, 0.0)
+
+    scores = jnp.where(human_valid, top_scores, 0.0)
+    part_valid = part_valid & human_valid[:, None]
+    return coords, part_score, part_valid, scores, human_valid
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "feat_hw", "topology")
+)
+def paf_decode_batch(
+    conf: jax.Array,   # [B, H, W, P(+bg)]
+    paf: jax.Array,    # [B, H, W, 2L]
+    cfg: PafDecoderConfig = PafDecoderConfig(),
+    feat_hw: tuple[int, int] | None = None,
+    topology: Topology = COCO_TOPOLOGY,
+) -> DecodedSkeletons:
+    """Full batched PAF decode: feature maps -> fixed-shape skeletons.
+
+    conf may include a background channel (channel n_parts); only the first
+    n_parts channels are searched for peaks (reference: post_process.hpp:179).
+    """
+    b, h, w, _ = conf.shape
+    feat_h = feat_hw[0] if feat_hw else h
+    conf = conf[..., : cfg.n_parts]
+    up_hw = (h * cfg.upsample, w * cfg.upsample)
+    conf_up = resize_nhwc(conf, up_hw)
+    paf_up = resize_nhwc(paf, up_hw)
+
+    peak_xy, peak_score, peak_valid = find_peaks(conf_up, cfg)
+    # Keep the limb table as numpy: it is embedded as an XLA constant at
+    # lowering with no device round-trip (important under remote backends).
+    limbs = np.asarray(topology.limbs)
+
+    def decode_one(paf_i, pxy, pscore, pvalid):
+        cand = _limb_pair_scores(paf_i, pxy, pvalid, limbs, feat_h, cfg)
+        src, dst, cscore, accepted = _greedy_connections(cand, cfg)
+        return _assemble(
+            src, dst, cscore, accepted, pxy, pscore, limbs, up_hw, cfg
+        )
+
+    coords, part_scores, part_valid, scores, valid = jax.vmap(decode_one)(
+        paf_up, peak_xy, peak_score, peak_valid
+    )
+    return DecodedSkeletons(coords, part_scores, part_valid, scores, valid)
