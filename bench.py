@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Headline benchmark: frames/sec/chip, TinyVGG-OpenPose 432x368, full
+pipeline (normalize + CNN forward + on-device PAF decode).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: reference TensorRT OpenPose(TinyVGG) = 124.925 FPS on GTX 1070Ti
+(reference: README.md Performance table; measured at 384x256 there — we run
+the larger 432x368 north-star resolution).
+
+Timing methodology: this environment's remote TPU tunnel does not honor
+block_until_ready, so N steps are chained inside ONE jit via a fori_loop
+whose carry feeds each iteration's output into the next input (no CSE, no
+overlap tricks), and the wall clock covers a scalar device->host fetch that
+semantically requires all N steps to have executed.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hyperpose_tpu.models.backbones import VggTiny
+from hyperpose_tpu.models.openpose import LightWeightOpenPose
+from hyperpose_tpu.ops.paf_decode import PafDecoderConfig, paf_decode_batch
+
+BASELINE_FPS = 124.925
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    hw = (368, 432)
+    feat_hw = (hw[0] // 8, hw[1] // 8)
+
+    model = LightWeightOpenPose(backbone=VggTiny, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, *hw, 3), jnp.bfloat16),
+                           train=False)
+    cfg = PafDecoderConfig()
+
+    def fused(v, x):
+        out = model.apply(v, x, train=False)
+        conf = out["conf_map"].astype(jnp.float32)
+        paf = out["paf_map"].astype(jnp.float32)
+        return paf_decode_batch(conf, paf, cfg, feat_hw)
+
+    @jax.jit
+    def bench_n(v, x0):
+        def body(_, carry):
+            x, acc = carry
+            decoded = fused(v, x)
+            acc = acc + jnp.sum(decoded.scores)
+            # Serialize: next input depends on this step's output.
+            x = x + (acc * 1e-24).astype(x.dtype)
+            return x, acc
+
+        _, acc = lax.fori_loop(0, steps, body, (x0, jnp.float32(0.0)))
+        return acc
+
+    x0 = jnp.asarray(
+        np.random.rand(batch, *hw, 3).astype(np.float32), jnp.bfloat16
+    )
+    t0 = time.perf_counter()
+    float(bench_n(variables, x0))  # compile + first run
+    compile_s = time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(bench_n(variables, x0))
+        best = min(best, time.perf_counter() - t0)
+
+    fps = batch * steps / best
+    print(json.dumps({
+        "metric": "tinyvgg_openpose_432x368_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "detail": {
+            "batch": batch, "steps": steps,
+            "compile_plus_first_s": round(compile_s, 1),
+            "ms_per_frame": round(1000 * best / (batch * steps), 3),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,533 @@
+"""Backbone zoo in flax.linen, NHWC, TPU-native.
+
+Provides the same 10 backbone families as the reference
+(reference: hyperpose/Model/backbones.py:9,63,201,250,299,343,393,447,512,587)
+with the uniform contract: ctor knobs (scale_size in {8, 32}, pretraining),
+an `out_channels` class attribute, and `__call__(x, train)` returning NHWC
+feature maps (or logits when `pretraining=True`).
+
+All convs run in the compute dtype (bfloat16 on TPU by default via
+`dtype`), with parameters kept in float32.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    """Conv2d + BatchNorm + activation."""
+
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    dilation: tuple[int, int] = (1, 1)
+    act: Callable | None = nn.relu
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features, self.kernel, strides=self.strides,
+            kernel_dilation=self.dilation, padding="SAME",
+            use_bias=self.use_bias, dtype=self.dtype, name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=self.momentum,
+            epsilon=self.epsilon, dtype=self.dtype, name="bn",
+        )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class DepthwiseConv(nn.Module):
+    """Depthwise 2D conv (feature_group_count = in_channels)."""
+
+    kernel: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    dilation: tuple[int, int] = (1, 1)
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        return nn.Conv(
+            c, self.kernel, strides=self.strides, kernel_dilation=self.dilation,
+            padding="SAME", feature_group_count=c, use_bias=self.use_bias,
+            dtype=self.dtype, name="dwconv",
+        )(x)
+
+
+class SeparableBlock(nn.Module):
+    """Depthwise conv + BN + act, then 1x1 conv + BN + act
+    (reference: backbones.py:241-248 separable_block)."""
+
+    features: int
+    strides: tuple[int, int] = (1, 1)
+    dilation: tuple[int, int] = (1, 1)
+    act: Callable = nn.relu
+    momentum: float = 0.99
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = DepthwiseConv(
+            strides=self.strides, dilation=self.dilation, dtype=self.dtype,
+            name="dw",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=self.momentum,
+            dtype=self.dtype, name="bn1",
+        )(x)
+        x = self.act(x)
+        x = nn.Conv(
+            self.features, (1, 1), use_bias=False, dtype=self.dtype, name="pw",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=self.momentum,
+            dtype=self.dtype, name="bn2",
+        )(x)
+        return self.act(x)
+
+
+def _classifier_head(x, hidden: Sequence[int], dtype) -> jnp.ndarray:
+    x = x.reshape((x.shape[0], -1))
+    for i, h in enumerate(hidden):
+        x = nn.relu(nn.Dense(h, dtype=dtype, name=f"fc{i + 1}")(x))
+    return nn.Dense(1000, dtype=dtype, name="fc_out")(x)
+
+
+class VggTiny(nn.Module):
+    """TinyVGG: conv-BN stacks 32-64 / 128-128 / 200x3 / 384x2 with 3 pools
+    (reference: backbones.py:343-391). The north-star inference backbone."""
+
+    scale_size: int = 8
+    pretraining: bool = False
+    dtype: Dtype = jnp.float32
+    out_channels: int = 384
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = [(32, 1), (64, 1), "pool", (128, 1), (128, 1), "pool",
+               (200, 1), (200, 1), (200, 1), "pool", (384, 1), (384, 1)]
+        i = 0
+        for item in cfg:
+            if item == "pool":
+                x = nn.max_pool(x, (2, 2), (2, 2), padding="SAME")
+            else:
+                f, s = item
+                x = ConvBN(
+                    f, strides=(s, s), dtype=self.dtype, name=f"block_{i}",
+                )(x, train)
+                i += 1
+        if self.scale_size == 32 or self.pretraining:
+            for j, s in enumerate([2, 1, 2]):
+                x = ConvBN(
+                    384, strides=(s, s), dtype=self.dtype, name=f"block_s32_{j}",
+                )(x, train)
+        if self.pretraining:
+            x = _classifier_head(x, [4096, 4096], self.dtype)
+        return x
+
+
+class Vgg16(nn.Module):
+    """VGG16 conv trunk (reference: backbones.py:393-445); plain convs, no BN."""
+
+    scale_size: int = 8
+    pretraining: bool = False
+    dtype: Dtype = jnp.float32
+    out_channels: int = 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = [(64, 2), "pool", (128, 2), "pool", (256, 3), "pool", (512, 3)]
+        b = 0
+        for item in cfg:
+            if item == "pool":
+                x = nn.max_pool(x, (2, 2), (2, 2), padding="SAME")
+            else:
+                f, n = item
+                for _ in range(n):
+                    x = nn.relu(nn.Conv(
+                        f, (3, 3), padding="SAME", dtype=self.dtype,
+                        name=f"conv_{b}",
+                    )(x))
+                    b += 1
+        if self.scale_size == 32 or self.pretraining:
+            x = nn.max_pool(x, (2, 2), (2, 2), padding="SAME")
+            for _ in range(3):
+                x = nn.relu(nn.Conv(
+                    512, (3, 3), padding="SAME", dtype=self.dtype,
+                    name=f"conv_{b}",
+                )(x))
+                b += 1
+            x = nn.max_pool(x, (2, 2), (2, 2), padding="SAME")
+        if self.pretraining:
+            x = _classifier_head(x, [4096, 4096], self.dtype)
+        return x
+
+
+class Vgg19(nn.Module):
+    """VGG19 trunk up to conv4_2 at stride 8 with BGR mean subtraction
+    (reference: backbones.py:447-510)."""
+
+    scale_size: int = 8
+    pretraining: bool = False
+    dtype: Dtype = jnp.float32
+    out_channels: int = 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # Mean subtraction (BGR means / 255, reference backbones.py:454).
+        mean = jnp.asarray(
+            np.array([103.939, 116.779, 123.68], np.float32) / 255.0,
+            self.dtype,
+        )
+        x = x - mean
+        cfg = [(64, 2), "pool", (128, 2), "pool", (256, 4), "pool", (512, 2)]
+        b = 0
+        for item in cfg:
+            if item == "pool":
+                x = nn.max_pool(x, (2, 2), (2, 2), padding="SAME")
+            else:
+                f, n = item
+                for _ in range(n):
+                    x = nn.relu(nn.Conv(
+                        f, (3, 3), padding="SAME", dtype=self.dtype,
+                        name=f"conv_{b}",
+                    )(x))
+                    b += 1
+        if self.scale_size == 32 or self.pretraining:
+            for _ in range(2):
+                x = nn.relu(nn.Conv(
+                    512, (3, 3), padding="SAME", dtype=self.dtype,
+                    name=f"conv_{b}",
+                )(x))
+                b += 1
+            x = nn.max_pool(x, (2, 2), (2, 2), padding="SAME")
+            for _ in range(4):
+                x = nn.relu(nn.Conv(
+                    512, (3, 3), padding="SAME", dtype=self.dtype,
+                    name=f"conv_{b}",
+                )(x))
+                b += 1
+            x = nn.max_pool(x, (2, 2), (2, 2), padding="SAME")
+        if self.pretraining:
+            x = _classifier_head(x, [4096, 4096], self.dtype)
+        return x
+
+
+class MobilenetV1(nn.Module):
+    """MobileNetV1 trunk (reference: backbones.py:9-61)."""
+
+    scale_size: int = 8
+    pretraining: bool = False
+    dtype: Dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        return 1024 if (self.scale_size == 32 or self.pretraining) else 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(32, strides=(2, 2), dtype=self.dtype, name="stem")(x, train)
+        plan = [(64, 1), (128, 2), (128, 1), (256, 2), (256, 1),
+                (512, 1), (512, 1), (512, 1), (512, 1)]
+        if self.scale_size == 32 or self.pretraining:
+            plan += [(512, 2), (512, 1), (1024, 2), (1024, 1)]
+        for i, (f, s) in enumerate(plan):
+            x = SeparableBlock(
+                f, strides=(s, s), dtype=self.dtype, name=f"sep_{i}",
+            )(x, train)
+        if self.pretraining:
+            x = jnp.mean(x, axis=(1, 2))
+            x = nn.Dense(1000, dtype=self.dtype, name="fc_out")(x)
+        return x
+
+
+class InvertedResidual(nn.Module):
+    """MobileNetV2 inverted residual (reference: backbones.py:139-176)."""
+
+    features: int
+    strides: tuple[int, int] = (1, 1)
+    exp_ratio: int = 6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inp = x.shape[-1]
+        hidden = inp * self.exp_ratio
+        identity = self.strides == (1, 1) and inp == self.features
+        y = x
+        if self.exp_ratio != 1:
+            y = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expand")(y)
+            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                             name="bn0")(y)
+            y = nn.relu6(y)
+        y = DepthwiseConv(strides=self.strides, dtype=self.dtype, name="dw")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn1")(y)
+        y = nn.relu6(y)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn2")(y)
+        return x + y if identity else y
+
+
+class MobilenetV2(nn.Module):
+    """MobileNetV2 trunk (reference: backbones.py:63-137)."""
+
+    scale_size: int = 8
+    pretraining: bool = False
+    dtype: Dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        return 320 if (self.scale_size == 32 or self.pretraining) else 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(32, strides=(2, 2), act=nn.relu6, dtype=self.dtype,
+                   name="stem")(x, train)
+        plan = [(16, 1, 1), (24, 2, 6), (24, 1, 6), (32, 2, 6), (32, 1, 6),
+                (32, 1, 6), (64, 1, 6), (64, 1, 6), (64, 1, 6), (64, 1, 6)]
+        if self.scale_size == 32 or self.pretraining:
+            plan += [(96, 2, 6), (96, 1, 6), (96, 1, 6),
+                     (160, 2, 6), (160, 1, 6), (160, 1, 6), (320, 1, 6)]
+        for i, (f, s, e) in enumerate(plan):
+            x = InvertedResidual(
+                f, strides=(s, s), exp_ratio=e, dtype=self.dtype,
+                name=f"ir_{i}",
+            )(x, train)
+        if self.pretraining:
+            x = nn.Conv(1280, (1, 1), dtype=self.dtype, name="head_conv")(x)
+            x = jnp.mean(x, axis=(1, 2))
+            x = nn.Dense(1000, dtype=self.dtype, name="fc_out")(x)
+        return x
+
+
+class MobilenetDilated(nn.Module):
+    """Dilated MobileNetV1 at stride 8 — the Lightweight-OpenPose backbone
+    (reference: backbones.py:201-232)."""
+
+    scale_size: int = 8
+    pretraining: bool = False
+    dtype: Dtype = jnp.float32
+    out_channels: int = 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = (2, 2) if (self.scale_size == 32 or self.pretraining) else (1, 1)
+        x = ConvBN(32, strides=(2, 2), momentum=0.999, dtype=self.dtype,
+                   name="stem")(x, train)
+        plan = [
+            (64, (1, 1), (1, 1)), (128, (2, 2), (1, 1)), (128, (1, 1), (1, 1)),
+            (256, (2, 2), (1, 1)), (256, (1, 1), (1, 1)), (512, (1, 1), (1, 1)),
+            (512, s, (2, 2)), (512, (1, 1), (1, 1)), (512, s, (1, 1)),
+            (512, (1, 1), (1, 1)), (512, (1, 1), (1, 1)),
+        ]
+        for i, (f, st, dil) in enumerate(plan):
+            x = SeparableBlock(
+                f, strides=st, dilation=dil, dtype=self.dtype, name=f"sep_{i}",
+            )(x, train)
+        return x
+
+
+class MobilenetThin(nn.Module):
+    """MobileNet-Thin with multi-scale concat features, out 1152 channels
+    (reference: backbones.py:250-297)."""
+
+    scale_size: int = 8
+    pretraining: bool = False
+    dtype: Dtype = jnp.float32
+    out_channels: int = 1152
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = (2, 2) if (self.scale_size == 32 or self.pretraining) else (1, 1)
+        x = ConvBN(32, strides=(2, 2), dtype=self.dtype, name="stem")(x, train)
+        plan = [(64, (1, 1)), (128, (2, 2)), (128, (1, 1)), (256, (2, 2)),
+                (256, (1, 1)), (512, s), (512, (1, 1)), (512, (1, 1)),
+                (512, s), (512, (1, 1)), (512, (1, 1))]
+        feats = []
+        for i, (f, st) in enumerate(plan):
+            x = SeparableBlock(f, strides=st, dtype=self.dtype,
+                               name=f"sep_{i}")(x, train)
+            if i == 2:  # after convblock_3
+                feats.append(nn.max_pool(x, (2, 2), (2, 2), padding="SAME"))
+            elif i == 6:  # after convblock_7
+                feats.append(x)
+        feats.append(x)
+        return jnp.concatenate(feats, axis=-1)
+
+
+class MobilenetSmall(nn.Module):
+    """MobileNet-Small with pooled/upsampled concat, out 704 channels
+    (reference: backbones.py:299-341)."""
+
+    scale_size: int = 8
+    pretraining: bool = False
+    dtype: Dtype = jnp.float32
+    out_channels: int = 704
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = (2, 2) if (self.scale_size == 32 or self.pretraining) else (1, 1)
+        x = ConvBN(32, strides=(2, 2), dtype=self.dtype, name="stem")(x, train)
+        x = SeparableBlock(64, dtype=self.dtype, name="sep_0")(x, train)
+        feats = [nn.max_pool(x, (2, 2), (2, 2), padding="SAME")]
+        x = SeparableBlock(128, strides=(2, 2), dtype=self.dtype,
+                           name="sep_1")(x, train)
+        x = SeparableBlock(128, dtype=self.dtype, name="sep_2")(x, train)
+        feats.append(x)
+        x = SeparableBlock(256, strides=(2, 2), dtype=self.dtype,
+                           name="sep_3")(x, train)
+        x = SeparableBlock(256, dtype=self.dtype, name="sep_4")(x, train)
+        x = SeparableBlock(512, strides=s, dtype=self.dtype, name="sep_5")(x, train)
+        x = SeparableBlock(512, strides=s, dtype=self.dtype, name="sep_6")(x, train)
+        b, h, w, c = x.shape
+        x = jax_resize_nearest(x, (h * 2, w * 2))
+        feats.append(x)
+        return jnp.concatenate(feats, axis=-1)
+
+
+def jax_resize_nearest(x, out_hw):
+    import jax
+
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="nearest")
+
+
+class ResBlock18(nn.Module):
+    """ResNet18 basic block (reference: backbones.py:563-586)."""
+
+    features: int
+    strides: tuple[int, int] = (1, 1)
+    down_sample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = x
+        y = ConvBN(self.features, strides=self.strides, momentum=0.9,
+                   dtype=self.dtype, name="cb1")(x, train)
+        y = ConvBN(self.features, act=None, momentum=0.9, dtype=self.dtype,
+                   name="cb2")(y, train)
+        if self.down_sample:
+            res = ConvBN(self.features, kernel=(1, 1), strides=self.strides,
+                         act=None, momentum=0.9, dtype=self.dtype,
+                         name="ds")(res, train)
+        return nn.relu(y + res)
+
+
+class Resnet18(nn.Module):
+    """ResNet18 trunk ending at block_5_1 (reference: backbones.py:512-561)."""
+
+    scale_size: int = 8
+    pretraining: bool = False
+    dtype: Dtype = jnp.float32
+    out_channels: int = 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = (2, 2) if (self.scale_size == 32 or self.pretraining) else (1, 1)
+        x = ConvBN(64, kernel=(7, 7), strides=(2, 2), momentum=0.9,
+                   dtype=self.dtype, name="stem")(x, train)
+        x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")
+        x = ResBlock18(64, dtype=self.dtype, name="b2_1")(x, train)
+        x = ResBlock18(64, dtype=self.dtype, name="b2_2")(x, train)
+        x = ResBlock18(128, strides=(2, 2), down_sample=True,
+                       dtype=self.dtype, name="b3_1")(x, train)
+        x = ResBlock18(128, dtype=self.dtype, name="b3_2")(x, train)
+        x = ResBlock18(256, strides=s, down_sample=True,
+                       dtype=self.dtype, name="b4_1")(x, train)
+        x = ResBlock18(256, dtype=self.dtype, name="b4_2")(x, train)
+        x = ResBlock18(512, strides=s, down_sample=True,
+                       dtype=self.dtype, name="b5_1")(x, train)
+        if self.pretraining:
+            x = ResBlock18(512, dtype=self.dtype, name="b5_2")(x, train)
+            x = jnp.mean(x, axis=(1, 2))
+            x = nn.Dense(1000, dtype=self.dtype, name="fc_out")(x)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """ResNet50 bottleneck block (reference: backbones.py:652-697)."""
+
+    features: int
+    strides: tuple[int, int] = (1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inp = x.shape[-1]
+        res = x
+        y = ConvBN(self.features, kernel=(1, 1), momentum=0.9,
+                   dtype=self.dtype, name="cb1")(x, train)
+        y = ConvBN(self.features, strides=self.strides, momentum=0.9,
+                   dtype=self.dtype, name="cb2")(y, train)
+        y = ConvBN(4 * self.features, kernel=(1, 1), act=None, momentum=0.9,
+                   dtype=self.dtype, name="cb3")(y, train)
+        if self.strides != (1, 1) or inp != 4 * self.features:
+            res = ConvBN(4 * self.features, kernel=(1, 1), strides=self.strides,
+                         act=None, momentum=0.9, dtype=self.dtype,
+                         name="ds")(res, train)
+        return nn.relu(y + res)
+
+
+class Resnet50(nn.Module):
+    """ResNet50 trunk (reference: backbones.py:587-650). `use_pool=False`
+    yields the stride-16 variant used by PifPaf (pifpaf/model.py:40-42)."""
+
+    scale_size: int = 8
+    pretraining: bool = False
+    use_pool: bool = True
+    dtype: Dtype = jnp.float32
+    out_channels: int = 2048
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = (2, 2) if (self.scale_size == 32 or self.pretraining) else (1, 1)
+        x = ConvBN(64, kernel=(7, 7), strides=(2, 2), momentum=0.9,
+                   dtype=self.dtype, name="stem")(x, train)
+        if self.use_pool:
+            x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")
+        plan = [(64, (1, 1), 3), (128, (2, 2), 4), (256, s, 6), (512, s, 3)]
+        for gi, (f, st, n) in enumerate(plan):
+            for bi in range(n):
+                x = Bottleneck(
+                    f, strides=st if bi == 0 else (1, 1), dtype=self.dtype,
+                    name=f"b{gi + 1}_{bi + 1}",
+                )(x, train)
+        if self.pretraining:
+            x = jnp.mean(x, axis=(1, 2))
+            x = nn.Dense(1000, dtype=self.dtype, name="fc_out")(x)
+        return x
+
+
+# Registry keyed by the reference's BACKBONE enum names
+# (reference: Config/define.py:3-15).
+BACKBONES: dict[str, type[nn.Module]] = {
+    "Mobilenetv1": MobilenetV1,
+    "Mobilenetv2": MobilenetV2,
+    "MobilenetDilated": MobilenetDilated,
+    "MobilenetThin": MobilenetThin,
+    "MobilenetSmall": MobilenetSmall,
+    "Vggtiny": VggTiny,
+    "Vgg19": Vgg19,
+    "Vgg16": Vgg16,
+    "Resnet18": Resnet18,
+    "Resnet50": Resnet50,
+}

@@ -7,9 +7,14 @@ dynamic peak lists, std::sort and sequential human merging on the host, every
 stage is expressed as a bounded-shape XLA computation so the whole decode runs
 on-device, batched, inside one `jit`:
 
-  1. upsample + Gaussian smooth + 3x3 same-max-pool peak NMS  -> top-K peaks
-     per part channel                 (replaces find_peak_coords, paf.cpp:337-345)
-  2. line-integral scoring of all KxK peak pairs per limb, 10 samples
+  1. Gaussian smooth + 3x3 same-max-pool peak NMS at FEATURE resolution,
+     with quadratic sub-pixel refinement -> top-K peaks per part channel.
+     The reference upsamples maps 4x and takes integer argmax peaks
+     (paf.cpp:319-345); sub-pixel refinement reaches finer localization at
+     1/16 the bandwidth, which matters on TPU where the decode is fused
+     behind the conv net in one XLA program.
+  2. line-integral scoring of all KxK peak pairs per limb, 10 samples,
+     gathered from the feature-res PAF planes
                                       (replaces get_connection_candidates, paf.cpp:95-137)
   3. greedy connection NMS as a fori_loop over the top-T sorted candidates,
      vectorized over (batch, limb)    (replaces get_connections, paf.cpp:234-272)
@@ -24,6 +29,8 @@ Known, intentional divergences from the reference (all rare tie cases):
     (connected components) whereas paf.cpp:183-187 refuses the merge; and a
     part slot is resolved by max peak score instead of first-write order.
   * peaks are capped at the top `max_peaks` per part by smoothed score.
+  * PAF line samples are rounded to feature-res pixels instead of 4x-res
+    pixels (the field is locally smooth, mAP-neutral).
 """
 from __future__ import annotations
 
@@ -35,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .image import gaussian_smooth_nhwc, resize_nhwc, same_max_pool_3x3_nhwc
+from .image import gaussian_smooth_nhwc, same_max_pool_3x3_nhwc
 from ..utils.topology import COCO_TOPOLOGY, Topology
 
 _NEG = -1e30  # sentinel for "invalid" in score arrays (avoid inf arithmetic)
@@ -47,18 +54,23 @@ class PafDecoderConfig:
 
     n_parts: int = 18
     n_limbs: int = 19
-    max_peaks: int = 32        # K: peaks kept per part channel
-    max_candidates: int = 80   # T: sorted connection candidates tried per limb
+    max_peaks: int = 16        # K: peaks kept per part channel
+    max_candidates: int = 64   # T: sorted connection candidates tried per limb
     max_humans: int = 32
-    upsample: int = 4          # reference: paf.cpp:319-320 (4x feature map)
+    upsample: int = 4          # virtual upsample for length-penalty parity
+                               # (reference: paf.cpp:319-320 decodes at 4x)
     n_samples: int = 10        # STEP_PAF, paf.cpp:60
-    smooth_ksize: int = 17     # peak_finder ksize, paf.cpp:346
-    smooth_sigma: float = 3.0  # post_process.hpp:58
+    smooth_ksize: int = 5      # ksize 17 @4x (paf.cpp:346) ~ 5 @1x
+    smooth_sigma: float = 0.75  # sigma 3 @4x (post_process.hpp:58) ~ 0.75 @1x
     conf_thresh: float = 0.05  # paf.hpp:27
     paf_thresh: float = 0.05
     crit1_thresh: int = 8      # THRESH_VECTOR_CNT1, paf.cpp:55 (python eval uses 6)
     min_parts: int = 4         # THRESH_PART_CNT
     min_human_score: float = 0.4  # THRESH_HUMAN_SCORE (python eval uses 0.3)
+    label_prop_iters: int = 8  # >= skeleton graph diameter
+
+    def replace(self, **kw) -> "PafDecoderConfig":
+        return dataclasses.replace(self, **kw)
 
 
 @jax.tree_util.register_dataclass
@@ -76,24 +88,24 @@ class DecodedSkeletons:
 def find_peaks(
     conf: jax.Array, cfg: PafDecoderConfig
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Top-K peak NMS over [B, H, W, P] confidence maps.
+    """Top-K peak NMS with sub-pixel refinement over [B, H, W, P] maps.
 
     A peak is a pixel of the smoothed map that survives 3x3 same-max-pool NMS
     and exceeds conf_thresh; its reported score is taken from the *unsmoothed*
-    map (reference: post_process.hpp:176-187).
+    map (reference: post_process.hpp:176-187). Sub-pixel offsets come from a
+    1-D quadratic fit per axis on the smoothed map.
 
-    Returns (peak_xy [B,P,K,2] int32, peak_score [B,P,K], peak_valid [B,P,K]).
+    Returns (peak_xy [B,P,K,2] float32, peak_score [B,P,K], peak_valid [B,P,K]).
     """
     b, h, w, p = conf.shape
     k = cfg.max_peaks
     smoothed = gaussian_smooth_nhwc(conf, cfg.smooth_ksize, cfg.smooth_sigma)
     pooled = same_max_pool_3x3_nhwc(smoothed)
     is_peak = (smoothed >= pooled) & (smoothed > cfg.conf_thresh)
-    # Plateau tie-break: upsampled maps can contain exact ties (symmetric
-    # blobs), and `==`-style NMS emits every tied pixel. Two adjacent
-    # survivors necessarily have equal values, so keep only the candidate
-    # whose pixel index is the maximum among candidates in its 3x3 window —
-    # an exact integer-space rule (no fp-epsilon tricks).
+    # Plateau tie-break: exact ties (symmetric blobs) would emit every tied
+    # pixel under `==`-style NMS. Two adjacent survivors necessarily hold
+    # equal values, so keep only the candidate whose pixel index is the max
+    # among candidates in its 3x3 window — an exact integer-space rule.
     pix = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w, 1)
     cand_idx = jnp.where(is_peak, pix, -1)
     pooled_idx = lax.reduce_window(
@@ -108,18 +120,40 @@ def find_peaks(
     valid = top_vals > _NEG * 0.5
     ys = top_idx // w
     xs = top_idx % w
+
+    # Gather raw scores and the 4 axis-neighbors of the smoothed map for the
+    # quadratic sub-pixel fit: dx = 0.5*(f+ - f-)/(f+ - 2f0 + f-), clipped.
+    sm_flat = smoothed.transpose(0, 3, 1, 2).reshape(b, p, h * w)
     raw_flat = conf.transpose(0, 3, 1, 2).reshape(b, p, h * w)
-    scores = jnp.take_along_axis(raw_flat, top_idx, axis=-1)
-    xy = jnp.stack([xs, ys], axis=-1).astype(jnp.int32)
+
+    def g(flat_map, idx):
+        return jnp.take_along_axis(flat_map, idx, axis=-1)
+
+    f0 = g(sm_flat, top_idx)
+    fxp = g(sm_flat, jnp.clip(top_idx + 1, 0, h * w - 1))
+    fxm = g(sm_flat, jnp.clip(top_idx - 1, 0, h * w - 1))
+    fyp = g(sm_flat, jnp.clip(top_idx + w, 0, h * w - 1))
+    fym = g(sm_flat, jnp.clip(top_idx - w, 0, h * w - 1))
+
+    def subpix(fp, fm, f0):
+        denom = fp - 2.0 * f0 + fm
+        off = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (fm - fp) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx = subpix(fxp, fxm, f0)
+    dy = subpix(fyp, fym, f0)
+    scores = g(raw_flat, top_idx)
+    xy = jnp.stack(
+        [xs.astype(jnp.float32) + dx, ys.astype(jnp.float32) + dy], axis=-1
+    )
     return xy, jnp.where(valid, scores, 0.0), valid
 
 
 def _limb_pair_scores(
     paf: jax.Array,            # [H, W, 2L]
-    peak_xy: jax.Array,        # [P, K, 2]
+    peak_xy: jax.Array,        # [P, K, 2] float
     peak_valid: jax.Array,     # [P, K]
-    limbs: jax.Array,          # [L, 2]
-    feat_h: int,
+    limbs: np.ndarray,         # [L, 2]
     cfg: PafDecoderConfig,
 ) -> jax.Array:
     """Line-integral score of every (peak_a, peak_b) pair for every limb.
@@ -129,8 +163,8 @@ def _limb_pair_scores(
     """
     h, w, _ = paf.shape
     l, s, k = limbs.shape[0], cfg.n_samples, peak_xy.shape[1]
-    pa = peak_xy[limbs[:, 0]].astype(jnp.float32)  # [L,K,2]
-    pb = peak_xy[limbs[:, 1]].astype(jnp.float32)
+    pa = peak_xy[limbs[:, 0]]                      # [L,K,2]
+    pb = peak_xy[limbs[:, 1]]
     va = peak_valid[limbs[:, 0]]                   # [L,K]
     vb = peak_valid[limbs[:, 1]]
 
@@ -146,8 +180,7 @@ def _limb_pair_scores(
     ly = jnp.clip(loc[..., 1], 0, h - 1)
     flat_idx = (ly * w + lx).reshape(l, -1)         # [L, K*K*S]
 
-    # Per-limb PAF planes: [L, H*W] for x and y components, then one batched
-    # gather per component (fast path for XLA's gather lowering).
+    # Per-limb PAF planes: [L, H*W] per component, one batched gather each.
     paf_cl = paf.reshape(h * w, 2 * l).T            # [2L, H*W]
     px = jnp.take_along_axis(paf_cl[0::2], flat_idx, axis=1).reshape(l, k, k, s)
     py = jnp.take_along_axis(paf_cl[1::2], flat_idx, axis=1).reshape(l, k, k, s)
@@ -155,8 +188,13 @@ def _limb_pair_scores(
     dot = unit[..., 0:1] * px + unit[..., 1:2] * py  # [L,K,K,S]
     crit1 = jnp.sum(dot > cfg.paf_thresh, axis=-1)
     mean_score = jnp.sum(dot, axis=-1) / s
-    # Length penalty uses the PRE-upsample feature height (paf.cpp:129,352).
-    crit2 = mean_score + jnp.minimum(0.0, 0.5 * feat_h / jnp.maximum(norm, 1e-12) - 1.0)
+    # Length penalty: min(0, 0.5*H_feat/norm_up - 1) with norm in virtual
+    # upsampled units (paf.cpp:129,352 — height is pre-upsample, peaks are
+    # post-upsample).
+    norm_up = cfg.upsample * norm
+    crit2 = mean_score + jnp.minimum(
+        0.0, 0.5 * h / jnp.maximum(norm_up, 1e-12) - 1.0
+    )
 
     ok = (
         (crit1 > cfg.crit1_thresh)
@@ -214,14 +252,15 @@ def _greedy_connections(
 def _assemble(
     src: jax.Array, dst: jax.Array, conn_score: jax.Array, accepted: jax.Array,
     peak_xy: jax.Array, peak_score: jax.Array,
-    limbs: jax.Array, hw_up: tuple[int, int], cfg: PafDecoderConfig,
+    limbs: np.ndarray, hw: tuple[int, int], cfg: PafDecoderConfig,
 ):
     """Group accepted connections into skeletons via label propagation.
 
     Nodes are (part, peak-slot) pairs; accepted connections are edges; each
-    connected component is one human. Min-label propagation for P iterations
-    (>= graph diameter) replaces the reference's order-dependent sequential
-    merge (src/paf.cpp:146-232) with a fully vectorized equivalent.
+    connected component is one human. Min-label propagation for a fixed
+    iteration count (>= graph diameter) replaces the reference's
+    order-dependent sequential merge (src/paf.cpp:146-232) with a fully
+    vectorized equivalent.
     """
     p, k = cfg.n_parts, cfg.max_peaks
     n = p * k
@@ -238,7 +277,7 @@ def _assemble(
         labels = labels.at[vf].min(m)
         return labels
 
-    labels = lax.fori_loop(0, p, prop, labels0)
+    labels = lax.fori_loop(0, cfg.label_prop_iters, prop, labels0)
 
     in_edge = (
         jnp.zeros((n,), jnp.bool_).at[uf].max(af).at[vf].max(af)
@@ -281,8 +320,9 @@ def _assemble(
     part_score = jnp.where(part_valid, part_score, 0.0)
 
     xy = peak_xy[jnp.arange(p)[None, :], best_k]              # [MAX_H, P, 2]
-    h_up, w_up = hw_up
-    coords = xy.astype(jnp.float32) / jnp.array([w_up, h_up], jnp.float32)
+    h, w = hw
+    # Pixel-center convention: feature pixel i -> normalized (i + 0.5) / size.
+    coords = (xy + 0.5) / jnp.array([w, h], jnp.float32)
     coords = jnp.where(part_valid[..., None], coords, 0.0)
 
     scores = jnp.where(human_valid, top_scores, 0.0)
@@ -290,14 +330,12 @@ def _assemble(
     return coords, part_score, part_valid, scores, human_valid
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "feat_hw", "topology")
-)
+@functools.partial(jax.jit, static_argnames=("cfg", "feat_hw", "topology"))
 def paf_decode_batch(
     conf: jax.Array,   # [B, H, W, P(+bg)]
     paf: jax.Array,    # [B, H, W, 2L]
     cfg: PafDecoderConfig = PafDecoderConfig(),
-    feat_hw: tuple[int, int] | None = None,
+    feat_hw: tuple[int, int] | None = None,  # kept for API compat; unused
     topology: Topology = COCO_TOPOLOGY,
 ) -> DecodedSkeletons:
     """Full batched PAF decode: feature maps -> fixed-shape skeletons.
@@ -305,26 +343,23 @@ def paf_decode_batch(
     conf may include a background channel (channel n_parts); only the first
     n_parts channels are searched for peaks (reference: post_process.hpp:179).
     """
+    del feat_hw
     b, h, w, _ = conf.shape
-    feat_h = feat_hw[0] if feat_hw else h
     conf = conf[..., : cfg.n_parts]
-    up_hw = (h * cfg.upsample, w * cfg.upsample)
-    conf_up = resize_nhwc(conf, up_hw)
-    paf_up = resize_nhwc(paf, up_hw)
 
-    peak_xy, peak_score, peak_valid = find_peaks(conf_up, cfg)
+    peak_xy, peak_score, peak_valid = find_peaks(conf, cfg)
     # Keep the limb table as numpy: it is embedded as an XLA constant at
     # lowering with no device round-trip (important under remote backends).
     limbs = np.asarray(topology.limbs)
 
     def decode_one(paf_i, pxy, pscore, pvalid):
-        cand = _limb_pair_scores(paf_i, pxy, pvalid, limbs, feat_h, cfg)
+        cand = _limb_pair_scores(paf_i, pxy, pvalid, limbs, cfg)
         src, dst, cscore, accepted = _greedy_connections(cand, cfg)
         return _assemble(
-            src, dst, cscore, accepted, pxy, pscore, limbs, up_hw, cfg
+            src, dst, cscore, accepted, pxy, pscore, limbs, (h, w), cfg
         )
 
     coords, part_scores, part_valid, scores, valid = jax.vmap(decode_one)(
-        paf_up, peak_xy, peak_score, peak_valid
+        paf, peak_xy, peak_score, peak_valid
     )
     return DecodedSkeletons(coords, part_scores, part_valid, scores, valid)

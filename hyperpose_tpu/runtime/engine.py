@@ -1,0 +1,144 @@
+"""Compiled pose-inference engine.
+
+TPU-native counterpart of the reference's TensorRT engine wrapper
+(reference: src/tensorrt.cpp:121-477 dnn::tensorrt): instead of a serialized
+CUDA engine plus CPU parsers, the whole pipeline — normalize, CNN forward,
+and PAF decode — is one fused XLA program per (batch, resolution) shape.
+Preprocessing (letterbox) stays on host; everything after the uint8 batch
+lands on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.paf_decode import PafDecoderConfig, paf_decode_batch
+from ..utils.human import Human, SkeletonBatch
+from ..utils.topology import COCO_TOPOLOGY, Topology
+from ..utils import tracing
+
+
+@dataclasses.dataclass
+class EngineStats:
+    """Rolling throughput counters (reference: examples/cli.cpp:231-301 FPS
+    reporting)."""
+
+    frames: int = 0
+    seconds: float = 0.0
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.seconds if self.seconds else 0.0
+
+
+class PoseEngine:
+    """Batched, fixed-shape pose inference: images -> skeletons.
+
+    Equivalent surface to the reference engine + parser pair
+    (reference: include/hyperpose/operator/dnn/tensorrt.hpp:44-123 and
+    operator/parser/paf.hpp): `inference()` accepts a list of HWC uint8
+    images, handles resize/letterbox + batching, and returns per-image
+    `Human` lists.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        input_hw: tuple[int, int] = (368, 432),
+        max_batch_size: int = 8,
+        decoder: PafDecoderConfig | None = None,
+        topology: Topology = COCO_TOPOLOGY,
+        keep_ratio: bool = False,
+    ):
+        self.model = model
+        self.variables = jax.device_put(variables)
+        self.input_hw = tuple(input_hw)
+        self.max_batch_size = int(max_batch_size)
+        self.decoder = decoder or PafDecoderConfig()
+        self.topology = topology
+        self.keep_ratio = keep_ratio
+        self.stats = EngineStats()
+        self._feat_hw: tuple[int, int] | None = None
+
+    # -- device path ---------------------------------------------------------
+
+    @functools.cached_property
+    def _step(self):
+        model, dec, topo = self.model, self.decoder, self.topology
+
+        @jax.jit
+        def step(variables, images_u8):
+            x = images_u8.astype(model.dtype) / 255.0
+            out = model.apply(variables, x, train=False)
+            conf = out["conf_map"].astype(jnp.float32)
+            paf = out["paf_map"].astype(jnp.float32)
+            feat_hw = (conf.shape[1], conf.shape[2])
+            return paf_decode_batch(conf, paf, dec, feat_hw, topo)
+
+        return step
+
+    def warmup(self) -> float:
+        """Compile the fused step; returns compile seconds
+        (reference analog: engine build, src/tensorrt.cpp:121-223)."""
+        t0 = time.perf_counter()
+        h, w = self.input_hw
+        dummy = jnp.zeros((self.max_batch_size, h, w, 3), jnp.uint8)
+        jax.block_until_ready(self._step(self.variables, dummy).coords)
+        return time.perf_counter() - t0
+
+    def infer_batch_device(self, images_u8) -> Any:
+        """Raw device decode of an already-batched uint8 [B,H,W,3] array."""
+        return self._step(self.variables, images_u8)
+
+    # -- host path -----------------------------------------------------------
+
+    def inference(self, images: Sequence[np.ndarray]) -> list[list[Human]]:
+        """Full operator-style API (reference: tensorrt.cpp:436-461
+        inference(vector<cv::Mat>) + parser process)."""
+        import cv2
+
+        h, w = self.input_hw
+        batch = np.zeros((self.max_batch_size, h, w, 3), np.uint8)
+        ratios: list[tuple[float, float]] = []
+        n = len(images)
+        if n > self.max_batch_size:
+            raise ValueError(
+                f"batch {n} exceeds max_batch_size {self.max_batch_size}"
+            )
+        with tracing.scope("engine/preprocess"):
+            for i, img in enumerate(images):
+                if self.keep_ratio:
+                    from ..ops.image import letterbox_resize
+
+                    canvas, rx, ry = letterbox_resize(img, (h, w))
+                    batch[i] = canvas
+                    ratios.append((rx, ry))
+                else:
+                    batch[i] = cv2.resize(img, (w, h))
+                    ratios.append((1.0, 1.0))
+        t0 = time.perf_counter()
+        with tracing.scope("engine/device_step"):
+            decoded = self.infer_batch_device(jnp.asarray(batch))
+            jax.block_until_ready(decoded.coords)
+        self.stats.frames += n
+        self.stats.seconds += time.perf_counter() - t0
+        sk = SkeletonBatch(
+            np.asarray(decoded.coords), np.asarray(decoded.part_scores),
+            np.asarray(decoded.part_valid), np.asarray(decoded.scores),
+            np.asarray(decoded.valid),
+        )
+        results = []
+        for i in range(n):
+            humans = sk.to_humans(i)
+            rx, ry = ratios[i]
+            if self.keep_ratio and (rx != 1.0 or ry != 1.0):
+                humans = [hm.unletterboxed(rx, ry) for hm in humans]
+            results.append(humans)
+        return results

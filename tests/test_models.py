@@ -1,0 +1,72 @@
+"""Shape tests for backbones and OpenPose-family models."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperpose_tpu.models.backbones import BACKBONES
+from hyperpose_tpu.models.openpose import (
+    LightWeightOpenPose, MobilenetSmallOpenpose, MobilenetThinOpenpose,
+    OpenPose, openpose_loss,
+)
+
+H = W = 64
+
+
+@pytest.mark.parametrize("name", sorted(BACKBONES))
+def test_backbone_shapes(name):
+    cls = BACKBONES[name]
+    model = cls(scale_size=8)
+    x = jnp.zeros((1, H, W, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    # MobilenetSmall concatenates its features at stride 4
+    # (reference: backbones.py:327-341).
+    stride = {"MobilenetSmall": 4}.get(name, 8)
+    assert y.shape[0] == 1
+    assert y.shape[1] == H // stride and y.shape[2] == W // stride
+    expected_c = model.out_channels
+    assert y.shape[3] == expected_c, f"{name}: {y.shape} vs C={expected_c}"
+
+
+@pytest.mark.parametrize(
+    "ctor", [OpenPose, LightWeightOpenPose, MobilenetThinOpenpose,
+             MobilenetSmallOpenpose],
+    ids=["openpose", "lw", "thin", "small"],
+)
+def test_openpose_family_shapes(ctor):
+    model = ctor()
+    x = jnp.zeros((1, H, W, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    # The small variant's backbone emits stride-4 features.
+    s = 4 if ctor is MobilenetSmallOpenpose else 8
+    assert out["conf_map"].shape == (1, H // s, W // s, 19)
+    assert out["paf_map"].shape == (1, H // s, W // s, 38)
+    assert len(out["stage_confs"]) == len(out["stage_pafs"])
+    assert len(out["stage_confs"]) >= 2
+
+
+def test_openpose_loss_decreases_on_perfect_prediction():
+    model = LightWeightOpenPose()
+    x = jnp.zeros((2, H, W, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    gt_conf = np.asarray(out["conf_map"])
+    gt_paf = np.asarray(out["paf_map"])
+    loss_same, parts = openpose_loss(out, gt_conf, gt_paf)
+    assert float(loss_same) < 1e-8
+    loss_diff, _ = openpose_loss(out, gt_conf + 1.0, gt_paf)
+    assert float(loss_diff) > float(loss_same)
+    assert "conf_loss" in parts and "paf_loss" in parts
+
+
+def test_train_mode_has_batch_stats():
+    model = LightWeightOpenPose()
+    x = jnp.zeros((1, H, W, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    assert "batch_stats" in variables
+    out, updates = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert "batch_stats" in updates

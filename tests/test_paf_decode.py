@@ -63,16 +63,16 @@ def test_find_peaks_locates_blobs():
 
     xy, score, valid = find_peaks(jnp.asarray(conf[None, ..., :18]), cfg)
     xy, score, valid = map(np.asarray, (xy, score, valid))
-    # part 0 (nose): two peaks at (10,6) and (40,8)
-    nose_peaks = {tuple(xy[0, 0, i]) for i in range(valid.shape[2]) if valid[0, 0, i]}
-    assert (10, 6) in nose_peaks
-    assert (40, 8) in nose_peaks
+    # part 0 (nose): two peaks at (10,6) and (40,8), sub-pixel refined
+    nose_peaks = [tuple(xy[0, 0, i]) for i in range(valid.shape[2]) if valid[0, 0, i]]
     assert len(nose_peaks) == 2
+    assert any(abs(x - 10) < 0.6 and abs(y - 6) < 0.6 for x, y in nose_peaks)
+    assert any(abs(x - 40) < 0.6 and abs(y - 8) < 0.6 for x, y in nose_peaks)
 
 
 def test_decode_two_people():
     conf, paf = make_synthetic_maps(TWO_PEOPLE)
-    cfg = PafDecoderConfig(upsample=1)  # decode at feature resolution
+    cfg = PafDecoderConfig()
     out = paf_decode_batch(
         np.asarray(conf[None]), np.asarray(paf[None]), cfg, feat_hw=(46, 54)
     )
@@ -108,7 +108,7 @@ def test_decode_two_people():
 def test_decode_empty_maps():
     conf = np.zeros((1, 46, 54, 19), np.float32)
     paf = np.zeros((1, 46, 54, 38), np.float32)
-    out = paf_decode_batch(conf, paf, PafDecoderConfig(upsample=1), feat_hw=(46, 54))
+    out = paf_decode_batch(conf, paf, PafDecoderConfig(), feat_hw=(46, 54))
     assert np.asarray(out.valid).sum() == 0
 
 
@@ -116,7 +116,7 @@ def test_decode_batched_consistency():
     conf, paf = make_synthetic_maps(TWO_PEOPLE)
     conf0 = np.zeros_like(conf)
     paf0 = np.zeros_like(paf)
-    cfg = PafDecoderConfig(upsample=1)
+    cfg = PafDecoderConfig()
     batched = paf_decode_batch(
         np.stack([conf, conf0]), np.stack([paf, paf0]), cfg, feat_hw=(46, 54)
     )
@@ -124,8 +124,16 @@ def test_decode_batched_consistency():
     assert np.asarray(batched.valid[1]).sum() == 0
 
 
-def test_decode_upsampled():
+def test_decode_subpixel_accuracy():
     conf, paf = make_synthetic_maps(TWO_PEOPLE)
-    cfg = PafDecoderConfig(upsample=4)
-    out = paf_decode_batch(conf[None], paf[None], cfg, feat_hw=(46, 54))
+    out = paf_decode_batch(conf[None], paf[None], PafDecoderConfig(), feat_hw=(46, 54))
     assert np.asarray(out.valid[0]).sum() == 2
+    coords = np.asarray(out.coords[0])
+    pvalid = np.asarray(out.part_valid[0])
+    # person 1 nose at (10, 6): decoded normalized coord * size should land
+    # within half a pixel (pixel-center convention adds 0.5)
+    hits = []
+    for hid in range(coords.shape[0]):
+        if pvalid[hid, 0]:
+            hits.append((coords[hid, 0, 0] * 54, coords[hid, 0, 1] * 46))
+    assert any(abs(x - 10.5) < 0.5 and abs(y - 6.5) < 0.5 for x, y in hits)
