@@ -1,0 +1,241 @@
+"""Training pipelines: single- and multi-device pose training.
+
+Replaces the reference's train loops (reference: Model/train.py:94-325
+single_train, :327-588 parallel_train + KungFu) with ONE sharded
+implementation: the same jitted step serves 1..N devices via the
+("dp", "sp") mesh; gradient sync is XLA-inserted (Sync_sgd semantics).
+Target-map generation is fused into the step so the host ships only uint8
+images + keypoint arrays.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import OPTIM, Config
+from ..data.pipeline import TrainPipeline
+from ..data.targets import openpose_targets
+from ..models.openpose import openpose_loss
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..train.checkpoint import CheckpointManager, save_weights_npz
+from ..train.metrics import MetricManager
+
+logger = logging.getLogger("hyperpose_tpu.TRAIN")
+
+
+def staged_lr_schedule(cfg: Config) -> optax.Schedule:
+    """lr_init scaled by lr_decay_factor every lr_decay_every_step steps
+    (reference: Model/train.py:126,214-216,283-286)."""
+    t = cfg.train
+
+    def schedule(step):
+        if t.lr_decay_steps:
+            # pifpaf-style decay at explicit boundaries (config_pifpaf.py).
+            lr = t.lr_init
+            factor = jnp.ones((), jnp.float32)
+            for boundary in t.lr_decay_steps:
+                factor = jnp.where(step >= boundary, factor * t.lr_decay_factor, factor)
+            return lr * factor
+        n = jnp.floor_divide(step, t.lr_decay_every_step)
+        return t.lr_init * jnp.power(t.lr_decay_factor, n.astype(jnp.float32))
+
+    return schedule
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    sched = staged_lr_schedule(cfg)
+    kind = cfg.train.optim_type
+    if kind == OPTIM.Adam:
+        return optax.adam(sched)
+    if kind == OPTIM.RMSprop:
+        return optax.rmsprop(sched)
+    return optax.sgd(sched)
+
+
+def l2_regularization(params, weight_decay: float) -> jnp.ndarray:
+    """Explicit L2 over kernels (reference: Model/common.py:168-173
+    regulize_loss applies decay * l2 over trainable weights)."""
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    total = 0.0
+    for path, leaf in leaves:
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        if name == "kernel":
+            total = total + jnp.sum(jnp.square(leaf))
+    return weight_decay * total
+
+
+class Trainer:
+    """Train-loop driver for the OpenPose family.
+
+    Handles: mesh setup, fused (targets + forward + loss + update) step,
+    checkpoint/resume, metric logging, periodic weight export — the combined
+    responsibilities of single_train/parallel_train in the reference.
+    """
+
+    def __init__(self, config: Config, model, limbs: np.ndarray):
+        self.config = config
+        self.model = model
+        self.limbs = np.asarray(limbs)
+        t = config.train
+        avail = t.n_devices or len(jax.devices())
+        # dp size must divide the global batch; use the largest that fits.
+        dp_max = max(avail // t.spatial_parallel, 1)
+        dp = max(d for d in range(1, dp_max + 1) if t.batch_size % d == 0)
+        self.mesh = make_mesh(
+            n_devices=dp * t.spatial_parallel, spatial=t.spatial_parallel
+        )
+        self.optimizer = make_optimizer(config)
+        self.metric_manager = MetricManager()
+        self.ckpt = CheckpointManager(config.model.model_dir)
+        self._step_fn = None
+
+    # -- jitted step ---------------------------------------------------------
+
+    def _build_step(self):
+        cfg = self.config
+        model = self.model
+        limbs = self.limbs
+        in_hw = (cfg.model.hin, cfg.model.win)
+        out_hw = (cfg.model.hout, cfg.model.wout)
+        wd = cfg.train.weight_decay_factor
+        rep = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh)           # [B, H, W, C] images/masks
+        bsh_row = NamedSharding(self.mesh, P("dp"))  # batch-only tensors
+        optimizer = self.optimizer
+
+        # Model confidence channels = body parts + background; the keypoint
+        # array may carry a dead background row (converter convention) that
+        # must not become a target channel.
+        n_parts = cfg.model.n_pos - 1
+
+        def step(params, batch_stats, opt_state, images, kpts, valid, mask):
+            targets = openpose_targets(
+                kpts[:, :, :n_parts], valid[:, :, :n_parts], limbs,
+                in_hw, out_hw, mask=mask,
+            )
+
+            def loss_wrapped(p):
+                variables = {"params": p, "batch_stats": batch_stats}
+                x = images.astype(model.dtype) / 255.0
+                predict, updates = model.apply(
+                    variables, x, train=True, mutable=["batch_stats"]
+                )
+                pd_loss, parts = openpose_loss(
+                    predict, targets["conf_map"], targets["paf_map"], mask
+                )
+                re_loss = l2_regularization(p, wd)
+                total = pd_loss + re_loss
+                parts = dict(parts, loss_re=re_loss, pd_loss=pd_loss)
+                return total, (parts, updates["batch_stats"])
+
+            (loss, (parts, new_stats)), grads = jax.value_and_grad(
+                loss_wrapped, has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, dict(parts, total_loss=loss)
+
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, rep, bsh, bsh_row, bsh_row, bsh),
+            out_shardings=(rep, rep, rep, rep),
+            donate_argnums=(0, 1, 2),
+        )
+
+    # -- loop ----------------------------------------------------------------
+
+    def init_state(self, rng=None):
+        cfg = self.config
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, cfg.model.hin, cfg.model.win, 3), self.model.dtype)
+        variables = self.model.init(rng, dummy, train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.optimizer.init(params)
+        return params, batch_stats, opt_state
+
+    def train(self, pipeline: TrainPipeline, n_step: int | None = None,
+              visualizer=None):
+        cfg = self.config
+        n_step = n_step or cfg.train.n_step
+        params, batch_stats, opt_state = self.init_state()
+
+        start_step = 0
+        state_like = {
+            "params": params, "batch_stats": batch_stats,
+            "opt_state": opt_state,
+        }
+        restored_step, restored = self.ckpt.restore(state_like)
+        if restored is not None:
+            start_step = restored_step
+            params = restored["params"]
+            batch_stats = restored["batch_stats"]
+            opt_state = restored["opt_state"]
+            logger.info("resumed from step %d", start_step)
+
+        step_fn = self._step_fn or self._build_step()
+        self._step_fn = step_fn
+
+        rep = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh)
+        bsh_row = NamedSharding(self.mesh, P("dp"))
+        params = jax.device_put(params, rep)
+        batch_stats = jax.device_put(batch_stats, rep)
+        opt_state = jax.device_put(opt_state, rep)
+
+        mm = self.metric_manager
+        log_every = cfg.log.log_interval
+        save_every = cfg.train.save_interval
+
+        it = iter(pipeline)
+        with self.mesh:
+            for step_idx in range(start_step, n_step):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    logger.info("pipeline exhausted at step %d", step_idx)
+                    break
+                images = jax.device_put(batch["images"], bsh)
+                kpts = jax.device_put(batch["kpts"], bsh_row)
+                valid = jax.device_put(batch["valid"], bsh_row)
+                mask = jax.device_put(batch["mask"], bsh)
+                params, batch_stats, opt_state, metrics = step_fn(
+                    params, batch_stats, opt_state, images, kpts, valid, mask
+                )
+                if (step_idx + 1) % log_every == 0:
+                    host_metrics = {
+                        k: float(v) for k, v in metrics.items()
+                    }
+                    mm.update_dict(host_metrics)
+                    logger.info(
+                        "step %d: %s [%s]", step_idx + 1,
+                        mm.report_train(), mm.report_timing(log_every),
+                    )
+                if (step_idx + 1) % save_every == 0 and jax.process_index() == 0:
+                    self.save(step_idx + 1, params, batch_stats, opt_state)
+        self.save(n_step, params, batch_stats, opt_state)
+        return params, batch_stats
+
+    def save(self, step: int, params, batch_stats, opt_state):
+        state = {
+            "params": jax.device_get(params),
+            "batch_stats": jax.device_get(batch_stats),
+            "opt_state": jax.device_get(opt_state),
+        }
+        self.ckpt.save(step, state)
+        npz_path = os.path.join(
+            self.config.model.model_dir, "newest_model.npz"
+        )
+        save_weights_npz(
+            {"params": state["params"], "batch_stats": state["batch_stats"]},
+            npz_path,
+        )
+        logger.info("saved checkpoint at step %d -> %s", step, npz_path)

@@ -237,8 +237,10 @@ PPN_FLIP_LIST = _mirror_flip_list(
 )
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class Topology:
+    # eq=False => identity-based __eq__/__hash__, so a Topology can be a jit
+    # static argument (ndarray fields are unhashable by value).
     """An immutable keypoint topology: parts, limb index pairs, draw colors."""
 
     name: str
