@@ -1,0 +1,406 @@
+"""TPU-native PifPaf composite-field decoder.
+
+Fixed-shape XLA redesign of the reference's sequential decoder
+(reference: hyperpose/Model/pifpaf/processor.py:89-393 and
+src/pifpaf_decoder/openpifpaf_postprocessor.cpp:657-926):
+
+  * the high-resolution CIF accumulation (`get_hr_conf`/`add_gaussian`,
+    truncated Gaussians / 16, clipped to 1) is never materialized as a dense
+    map — it is evaluated lazily at exactly the query points the decoder
+    needs (seed positions and connection endpoints), as a masked sum over
+    the top-C contributing cells per part.
+  * seeds and per-limb connection candidates are bounded top-K selections.
+  * `grow` (heapq frontier, processor.py:338-393) becomes a bounded
+    fori_loop: each step evaluates ALL (assigned-src -> unassigned-dst)
+    directed edges vectorized and commits the best-scoring connection
+    (2-best blending + reverse matching preserved).
+  * seed processing with occupancy becomes an outer loop over max_humans
+    rounds, picking the best non-occupied seed each round.
+  * keypoint-wise NMS uses rank-ordered pairwise suppression.
+
+Everything runs batched under one jit via vmap.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..utils.topology import PIFPAF_TOPOLOGY, Topology
+from .paf_decode import DecodedSkeletons
+
+_NEG = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class PifPafDecoderConfig:
+    n_pos: int = 17
+    n_limbs: int = 19
+    max_hr_contrib: int = 96   # C: cells per part feeding hr queries
+    max_seeds: int = 64
+    max_paf_cands: int = 64    # Kc per limb
+    max_humans: int = 16
+    growth_steps: int = 16     # >= n_pos - 1
+    thresh_pif: float = 0.3        # reference: processor.py:47-48
+    thresh_paf: float = 0.1
+    thresh_ref_pif: float = 0.3
+    thresh_ref_paf: float = 0.1
+    thresh_gen_ref_pif: float = 0.1
+    hr_divisor: float = 16.0       # add_gaussian neighbor_num
+    min_scale: float = 4.0
+    part_num_thresh: int = 4
+    score_thresh: float = 0.1
+    reverse_match: bool = True
+
+
+def _hr_query(qx, qy, cx, cy, cconf, cscale, cvalid, divisor):
+    """Evaluate the hi-res CIF confidence at query points.
+
+    qx/qy: [Q]; c*: [C] contributing cells of the same part.
+    Mirrors add_gaussian (reference: pifpaf/utils.py:242-273): truncated
+    Gaussian with sigma = scale, center pixel pinned to conf, sum / 16,
+    clipped to [0, 1].
+    """
+    d2 = (qx[:, None] - cx[None, :]) ** 2 + (qy[:, None] - cy[None, :]) ** 2
+    sig2 = jnp.maximum(cscale, 1e-3)[None, :] ** 2
+    g = cconf[None, :] * jnp.exp(-0.5 * d2 / sig2)
+    g = jnp.where(d2 <= sig2, g, 0.0)                 # truncate at 1 sigma
+    g = jnp.where(d2 < 0.25, cconf[None, :], g)       # center-pixel pin
+    g = jnp.where(cvalid[None, :], g, 0.0)
+    return jnp.clip(jnp.sum(g, axis=-1) / divisor, 0.0, 1.0)
+
+
+def _find_connection(mx, my, mscore, mvalid, ox, oy, oscale, x, y, scale):
+    """Vectorized find_connection with 2-best blending
+    (reference: processor.py:262-310).
+
+    m*: [K] match-side candidate positions/scores; o*: [K] output side.
+    Returns (score, out_x, out_y, out_scale); score 0 when no match.
+    """
+    sigma_f = 2.0 * scale
+    sigma_g = 0.25 * scale**2
+    near = (
+        mvalid
+        & (jnp.abs(mx - x) <= sigma_f)
+        & (jnp.abs(my - y) <= sigma_f)
+    )
+    d2 = (mx - x) ** 2 + (my - y) ** 2
+    w = jnp.where(
+        near, jnp.exp(-0.5 * d2 / jnp.maximum(sigma_g, 1e-6)) * mscore, 0.0
+    )
+    i1 = jnp.argmax(w)
+    s1 = w[i1]
+    w2 = w.at[i1].set(0.0)
+    i2 = jnp.argmax(w2)
+    s2 = w2[i2]
+
+    no_match = s1 <= 0.0
+    # blend rules
+    second_bad = (s2 < 0.01) | (s2 < 0.5 * s1)
+    d12 = (ox[i1] - ox[i2]) ** 2 + (oy[i1] - oy[i2]) ** 2
+    too_far = d12 > (oscale[i1] ** 2 / 4.0)
+    use_single = second_bad | too_far
+
+    single = (0.5 * s1, ox[i1], oy[i1], oscale[i1])
+    denom = jnp.maximum(s1 + s2, 1e-12)
+    blend = (
+        0.5 * (s1 + s2),
+        (ox[i1] * s1 + ox[i2] * s2) / denom,
+        (oy[i1] * s1 + oy[i2] * s2) / denom,
+        (oscale[i1] * s1 + oscale[i2] * s2) / denom,
+    )
+    out = tuple(jnp.where(use_single, a, b) for a, b in zip(single, blend))
+    return tuple(jnp.where(no_match, 0.0, v) for v in out)
+
+
+def _decode_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray,
+                in_hw: tuple[int, int]):
+    p, l = cfg.n_pos, cfg.n_limbs
+    hin, win = in_hw
+    pif_conf = maps["pif_conf"]          # [H, W, P] (sigmoided)
+    pif_vec = maps["pif_vec"]            # [H, W, P, 2] restored (px)
+    pif_scale = maps["pif_scale"]        # [H, W, P] restored (px)
+    h, w, _ = pif_conf.shape
+    n = h * w
+
+    # ---- per-part hr contributors & pif candidates -------------------------
+    conf_pn = pif_conf.reshape(n, p).T                   # [P, N]
+    cvals, cidx = lax.top_k(conf_pn, cfg.max_hr_contrib)  # [P, C]
+
+    def gpart(m, idx):
+        return jnp.take_along_axis(m.reshape(n, p).T, idx, axis=1)
+
+    cvx = gpart(pif_vec[..., 0], cidx)
+    cvy = gpart(pif_vec[..., 1], cidx)
+    csc = gpart(pif_scale, cidx)
+    cvalid = cvals > cfg.thresh_gen_ref_pif
+
+    def hr_at(part_onehot_idx, qx, qy):
+        """hr conf of part `part_onehot_idx` ([Q] int) at [Q] points."""
+        # gather per-query contributor rows: [Q, C]
+        rows = lambda m: m[part_onehot_idx]
+        return _hr_query_rows(
+            qx, qy, rows(cvx), rows(cvy), rows(cvals), rows(csc),
+            rows(cvalid), cfg.hr_divisor,
+        )
+
+    # ---- seeds --------------------------------------------------------------
+    seed_conf = jnp.where(conf_pn > cfg.thresh_pif, conf_pn, _NEG)
+    svals, sidx = lax.top_k(
+        seed_conf.reshape(-1), cfg.max_seeds
+    )                                                     # over [P*N]
+    seed_part = (sidx // n).astype(jnp.int32)
+    cell = sidx % n
+    take = lambda m: m.reshape(n, p).T.reshape(-1)[seed_part * n + cell]
+    seed_x = take(pif_vec[..., 0])
+    seed_y = take(pif_vec[..., 1])
+    seed_scale = take(pif_scale)
+    hr_s = hr_at(seed_part, seed_x, seed_y)
+    seed_score = 0.9 * hr_s + 0.1 * jnp.maximum(svals, 0.0)
+    seed_valid = (svals > cfg.thresh_pif) & (seed_score > cfg.thresh_ref_pif)
+    # process seeds best-first
+    order = jnp.argsort(-jnp.where(seed_valid, seed_score, _NEG))
+    seed_part = seed_part[order]
+    seed_x, seed_y = seed_x[order], seed_y[order]
+    seed_scale = seed_scale[order]
+    seed_score = seed_score[order]
+    seed_valid = seed_valid[order]
+
+    # ---- paf candidates -> directed edge tables -----------------------------
+    paf_conf = maps["paf_conf"]                           # [H, W, L]
+    kc = cfg.max_paf_cands
+    pvals, pidx = lax.top_k(paf_conf.reshape(n, l).T, kc)  # [L, Kc]
+
+    def glimb(m):
+        return jnp.take_along_axis(m.reshape(n, l).T, pidx, axis=1)
+
+    sx = glimb(maps["paf_src_vec"][..., 0])
+    sy = glimb(maps["paf_src_vec"][..., 1])
+    ss = glimb(maps["paf_src_scale"])
+    dx = glimb(maps["paf_dst_vec"][..., 0])
+    dy = glimb(maps["paf_dst_vec"][..., 1])
+    ds = glimb(maps["paf_dst_scale"])
+    pvalid = pvals > cfg.thresh_paf
+
+    src_parts = limbs[:, 0]
+    dst_parts = limbs[:, 1]
+    # CIF_FLOOR rescoring (reference: processor.py:132-155).
+    hr_f = hr_at(
+        jnp.repeat(jnp.asarray(dst_parts), kc), dx.reshape(-1), dy.reshape(-1)
+    ).reshape(l, kc)
+    score_f = pvals * (0.1 + 0.9 * hr_f)
+    fvalid = pvalid & (score_f > cfg.thresh_ref_paf)
+    hr_b = hr_at(
+        jnp.repeat(jnp.asarray(src_parts), kc), sx.reshape(-1), sy.reshape(-1)
+    ).reshape(l, kc)
+    score_b = pvals * (0.1 + 0.9 * hr_b)
+    bvalid = pvalid & (score_b > cfg.thresh_ref_paf)
+
+    # Directed edges: e in [0, L) is limb forward (src->dst, match on src,
+    # output dst); e in [L, 2L) is backward. reverse edge of e is (e+L)%2L.
+    e_src = np.concatenate([src_parts, dst_parts])        # [2L]
+    e_dst = np.concatenate([dst_parts, src_parts])
+    em_x = jnp.concatenate([sx, dx], 0)                   # [2L, Kc] match side
+    em_y = jnp.concatenate([sy, dy], 0)
+    eo_x = jnp.concatenate([dx, sx], 0)                   # output side
+    eo_y = jnp.concatenate([dy, sy], 0)
+    eo_s = jnp.concatenate([ds, ss], 0)
+    e_score = jnp.concatenate([score_f, score_b], 0)
+    e_valid = jnp.concatenate([fvalid, bvalid], 0)
+    n_edges = 2 * l
+
+    def grow_one(seed):
+        """Grow a full skeleton from one seed (bounded frontier loop)."""
+        s_part, s_x, s_y, s_scale, s_score = seed
+        ann_score = jnp.zeros((p,)).at[s_part].set(s_score)
+        ann_x = jnp.zeros((p,)).at[s_part].set(s_x)
+        ann_y = jnp.zeros((p,)).at[s_part].set(s_y)
+        ann_sc = jnp.zeros((p,)).at[s_part].set(s_scale)
+
+        def step(_, ann):
+            ann_score, ann_x, ann_y, ann_sc = ann
+
+            def eval_edge(e):
+                sp = e_src_j[e]
+                dp = e_dst_j[e]
+                ok = (ann_score[sp] > 0) & (ann_score[dp] <= 0)
+                fc, fx, fy, fs = _find_connection(
+                    em_x[e], em_y[e], e_score[e], e_valid[e],
+                    eo_x[e], eo_y[e], eo_s[e],
+                    ann_x[sp], ann_y[sp], ann_sc[sp],
+                )
+                merge = jnp.sqrt(fc * ann_score[sp])
+                if cfg.reverse_match:
+                    rev = (e + l) % (2 * l)
+                    rc, rx, ry, _ = _find_connection(
+                        em_x[rev], em_y[rev], e_score[rev], e_valid[rev],
+                        eo_x[rev], eo_y[rev], eo_s[rev],
+                        fx, fy, fs,
+                    )
+                    rev_ok = (rc > 0.0) & (
+                        jnp.abs(ann_x[sp] - rx) + jnp.abs(ann_y[sp] - ry)
+                        <= ann_sc[sp]
+                    )
+                    merge = jnp.where(rev_ok, merge, 0.0)
+                merge = jnp.where(ok & (fc > 0.0), merge, 0.0)
+                return merge, fx, fy, fs, dp
+
+            merges, fxs, fys, fss, dps = jax.vmap(eval_edge)(
+                jnp.arange(n_edges)
+            )
+            best = jnp.argmax(merges)
+            bscore = merges[best]
+            bdp = dps[best]
+            commit = bscore > 0.0
+            ann_score = jnp.where(
+                commit, ann_score.at[bdp].set(bscore), ann_score
+            )
+            ann_x = jnp.where(commit, ann_x.at[bdp].set(fxs[best]), ann_x)
+            ann_y = jnp.where(commit, ann_y.at[bdp].set(fys[best]), ann_y)
+            ann_sc = jnp.where(commit, ann_sc.at[bdp].set(fss[best]), ann_sc)
+            return ann_score, ann_x, ann_y, ann_sc
+
+        e_src_j = jnp.asarray(e_src)
+        e_dst_j = jnp.asarray(e_dst)
+        return lax.fori_loop(
+            0, cfg.growth_steps, step, (ann_score, ann_x, ann_y, ann_sc)
+        )
+
+    # ---- seed loop with occupancy -------------------------------------------
+    mh = cfg.max_humans
+
+    def seed_round(h_idx, state):
+        anns, used_seed = state
+        a_score, a_x, a_y, a_sc = anns
+        # occupancy: seed is blocked if any existing keypoint of the same
+        # part lies within max(min_scale, its scale) Chebyshev distance
+        # (reference: check_occupy/put_occupy, processor.py:222-243).
+        occ_r = jnp.maximum(cfg.min_scale, a_sc)          # [MH, P]
+        sp = seed_part                                     # [S]
+        near = (
+            (a_score[:, sp] > 0)
+            & (jnp.abs(a_x[:, sp] - seed_x[None, :]) <= occ_r[:, sp])
+            & (jnp.abs(a_y[:, sp] - seed_y[None, :]) <= occ_r[:, sp])
+        )                                                  # [MH, S]
+        blocked = jnp.any(near, axis=0) | used_seed
+        avail = seed_valid & ~blocked
+        pick = jnp.argmax(jnp.where(avail, seed_score, _NEG))
+        any_avail = jnp.any(avail)
+        used_seed = used_seed.at[pick].set(True)
+
+        grown = grow_one((
+            seed_part[pick], seed_x[pick], seed_y[pick],
+            seed_scale[pick], seed_score[pick],
+        ))
+        g_score, g_x, g_y, g_sc = grown
+        write = any_avail
+        a_score = jnp.where(write, a_score.at[h_idx].set(g_score), a_score)
+        a_x = jnp.where(write, a_x.at[h_idx].set(g_x), a_x)
+        a_y = jnp.where(write, a_y.at[h_idx].set(g_y), a_y)
+        a_sc = jnp.where(write, a_sc.at[h_idx].set(g_sc), a_sc)
+        return (a_score, a_x, a_y, a_sc), used_seed
+
+    anns0 = (
+        jnp.zeros((mh, p)), jnp.zeros((mh, p)),
+        jnp.zeros((mh, p)), jnp.zeros((mh, p)),
+    )
+    (a_score, a_x, a_y, a_sc), _ = lax.fori_loop(
+        0, mh, seed_round, (anns0, jnp.zeros((cfg.max_seeds,), bool))
+    )
+
+    # ---- keypoint-wise NMS (reference: processor.py:245-259) ----------------
+    totals = jnp.sum(a_score, axis=1)                      # [MH]
+    rank = jnp.argsort(-totals)
+    inv_rank = jnp.argsort(rank)                           # position per ann
+    occ_r = jnp.maximum(cfg.min_scale, a_sc)
+    # ann i suppressed at part k by ann j if rank_j < rank_i and near.
+    near = (
+        (a_score[None, :, :] > 0)
+        & (jnp.abs(a_x[:, None, :] - a_x[None, :, :]) <= occ_r[None, :, :])
+        & (jnp.abs(a_y[:, None, :] - a_y[None, :, :]) <= occ_r[None, :, :])
+        & (inv_rank[None, :, None] < inv_rank[:, None, None])
+    )                                                      # [MH, MH, P]
+    suppressed = jnp.any(near, axis=1)
+    a_score = jnp.where(suppressed, 0.0, a_score)
+
+    # ---- filter + fixed-shape output ----------------------------------------
+    part_valid = a_score > 0.0
+    n_parts = jnp.sum(part_valid, axis=1)
+    human_score = jnp.sum(a_score, axis=1) / jnp.maximum(n_parts, 1)
+    human_valid = (
+        (n_parts >= cfg.part_num_thresh)
+        & (human_score >= cfg.score_thresh)
+    )
+    coords = jnp.stack([a_x / win, a_y / hin], axis=-1)
+    coords = jnp.where(part_valid[..., None], coords, 0.0)
+    part_scores = jnp.where(part_valid, a_score, 0.0)
+    part_valid = part_valid & human_valid[:, None]
+    human_score = jnp.where(human_valid, human_score, 0.0)
+    return coords, part_scores, part_valid, human_score, human_valid
+
+
+def _hr_query_rows(qx, qy, cx, cy, cconf, cscale, cvalid, divisor):
+    """Row-wise hr query: all inputs [Q, C] except qx/qy [Q]."""
+    d2 = (qx[:, None] - cx) ** 2 + (qy[:, None] - cy) ** 2
+    sig2 = jnp.maximum(cscale, 1e-3) ** 2
+    g = cconf * jnp.exp(-0.5 * d2 / sig2)
+    g = jnp.where(d2 <= sig2, g, 0.0)
+    g = jnp.where(d2 < 0.25, cconf, g)
+    g = jnp.where(cvalid, g, 0.0)
+    return jnp.clip(jnp.sum(g, axis=-1) / divisor, 0.0, 1.0)
+
+
+def restore_maps(predict: dict, stride: int) -> dict:
+    """Apply inference activations + coordinate restoration
+    (reference: model.py infer + utils.py restore_pif_maps/restore_paf_maps).
+    predict fields are raw NHWC model outputs [B, H, W, F(,2)]."""
+    pif_conf = jax.nn.sigmoid(predict["pif_conf"])
+    paf_conf = jax.nn.sigmoid(predict["paf_conf"])
+    b, h, w, _ = pif_conf.shape
+    mesh = jnp.stack(
+        jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                     jnp.arange(h, dtype=jnp.float32)), axis=-1
+    )                                                     # [H, W, 2] (x, y)
+    mesh = mesh[None, :, :, None, :]
+
+    def vec(v):
+        return (v + mesh) * stride
+
+    def sc(s):
+        return jax.nn.softplus(s) * stride
+
+    return {
+        "pif_conf": pif_conf,
+        "pif_vec": vec(predict["pif_vec"]),
+        "pif_scale": sc(predict["pif_scale"]),
+        "paf_conf": paf_conf,
+        "paf_src_vec": vec(predict["paf_src_vec"]),
+        "paf_dst_vec": vec(predict["paf_dst_vec"]),
+        "paf_src_scale": sc(predict["paf_src_scale"]),
+        "paf_dst_scale": sc(predict["paf_dst_scale"]),
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "stride", "in_hw", "topology")
+)
+def pifpaf_decode_batch(
+    predict: dict,
+    cfg: PifPafDecoderConfig = PifPafDecoderConfig(),
+    stride: int = 8,
+    in_hw: tuple[int, int] = (368, 432),
+    topology: Topology = PIFPAF_TOPOLOGY,
+) -> DecodedSkeletons:
+    """Batched decode from RAW model outputs (pre-activation NHWC fields)."""
+    maps = restore_maps(predict, stride)
+    limbs = np.asarray(topology.limbs)
+
+    def one(m):
+        return _decode_one(m, cfg, limbs, in_hw)
+
+    coords, part_scores, part_valid, scores, valid = jax.vmap(one)(maps)
+    return DecodedSkeletons(coords, part_scores, part_valid, scores, valid)

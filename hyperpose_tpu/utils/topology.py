@@ -102,34 +102,38 @@ MPII_LIMBS = np.array(
 
 
 class PpnCocoPart(IntEnum):
-    """18-part PoseProposal topology: 17 COCO keypoints + whole-person Instance
-    (reference: pose_proposal/define.py)."""
+    """18-part PoseProposal topology: the OpenPose part order with the
+    whole-person Instance anchor in the Neck slot
+    (reference: pose_proposal/define.py:4-22)."""
 
-    Instance = 0
-    Nose = 1
-    LEye = 2
-    REye = 3
-    LEar = 4
-    REar = 5
-    LShoulder = 6
-    RShoulder = 7
-    LElbow = 8
-    RElbow = 9
-    LWrist = 10
-    RWrist = 11
-    LHip = 12
-    RHip = 13
-    LKnee = 14
-    RKnee = 15
-    LAnkle = 16
-    RAnkle = 17
+    Nose = 0
+    Instance = 1
+    RShoulder = 2
+    RElbow = 3
+    RWrist = 4
+    LShoulder = 5
+    LElbow = 6
+    LWrist = 7
+    RHip = 8
+    RKnee = 9
+    RAnkle = 10
+    LHip = 11
+    LKnee = 12
+    LAnkle = 13
+    REye = 14
+    LEye = 15
+    REar = 16
+    LEar = 17
 
 
+# 17 limbs forming a tree rooted at Instance; each limb's source part is
+# assigned before it appears as a destination, so one ordered pass propagates
+# person ids (reference: pose_proposal/define.py:24-25).
 PPN_LIMBS = np.array(
     [
-        (0, 1), (1, 2), (1, 3), (2, 4), (3, 5), (0, 6), (0, 7),
-        (6, 8), (7, 9), (8, 10), (9, 11), (0, 12), (0, 13), (12, 14),
-        (13, 15), (14, 16), (15, 17),
+        (1, 8), (8, 9), (9, 10), (1, 11), (11, 12), (12, 13), (1, 2),
+        (2, 3), (3, 4), (1, 5), (5, 6), (6, 7), (1, 0), (0, 14), (0, 15),
+        (14, 16), (15, 17),
     ],
     dtype=np.int32,
 )

@@ -1,0 +1,152 @@
+"""PifPaf: model shapes, losses, synthetic-field decode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperpose_tpu.models.pifpaf import (
+    Pifpaf, bce_loss, laplace_loss, pifpaf_loss, pixel_shuffle_nhwc,
+    scale_loss,
+)
+from hyperpose_tpu.ops.pifpaf_decode import (
+    PifPafDecoderConfig, pifpaf_decode_batch,
+)
+from hyperpose_tpu.utils.topology import PIFPAF_BONES
+
+
+def test_pixel_shuffle():
+    x = np.arange(1 * 2 * 2 * 8, dtype=np.float32).reshape(1, 2, 2, 8)
+    y = pixel_shuffle_nhwc(jnp.asarray(x), 2)
+    assert y.shape == (1, 4, 4, 2)
+
+
+def test_model_shapes():
+    model = Pifpaf(hin=64, win=64)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    # stride 16 backbone + 2x pixel shuffle -> stride 8 maps
+    assert out["pif_conf"].shape == (1, 8, 8, 17)
+    assert out["pif_vec"].shape == (1, 8, 8, 17, 2)
+    assert out["paf_conf"].shape == (1, 8, 8, 19)
+    assert out["paf_src_vec"].shape == (1, 8, 8, 19, 2)
+
+
+def test_losses_nan_masking():
+    rng = np.random.default_rng(0)
+    pd = rng.normal(size=(2, 8, 8, 17)).astype(np.float32)
+    gt = rng.uniform(size=(2, 8, 8, 17)).astype(np.float32)
+    gt[0, :4] = np.nan
+    v = float(bce_loss(jnp.asarray(pd), jnp.asarray(gt)))
+    assert np.isfinite(v) and v > 0
+    pdv = rng.normal(size=(2, 8, 8, 17, 2)).astype(np.float32)
+    gtv = rng.normal(size=(2, 8, 8, 17, 2)).astype(np.float32)
+    gtv[1, 2:6] = np.nan
+    logb = rng.normal(size=(2, 8, 8, 17)).astype(np.float32)
+    bmin = np.full((2, 8, 8, 17), 0.0125, np.float32)
+    v = float(laplace_loss(jnp.asarray(pdv), jnp.asarray(logb),
+                           jnp.asarray(gtv), jnp.asarray(bmin)))
+    assert np.isfinite(v)
+    gts = rng.uniform(1, 5, size=(2, 8, 8, 17)).astype(np.float32)
+    gts[0, 0] = np.nan
+    v = float(scale_loss(jnp.asarray(pd), jnp.asarray(gts)))
+    assert np.isfinite(v) and v > 0
+
+
+def inv_softplus(y):
+    return np.log(np.expm1(np.maximum(y, 1e-4)))
+
+
+def synth_fields(people, h=46, w=54, stride=8):
+    """Build raw model-output fields for the given people
+    (dict part->(x,y) in input px)."""
+    p, l = 17, 19
+    pif_conf = np.full((h, w, p), -10.0, np.float32)
+    pif_vec = np.zeros((h, w, p, 2), np.float32)
+    pif_logb = np.zeros((h, w, p), np.float32)
+    pif_scale = np.full((h, w, p), inv_softplus(2.0), np.float32)
+    paf_conf = np.full((h, w, l), -10.0, np.float32)
+    paf_src = np.zeros((h, w, l, 2), np.float32)
+    paf_dst = np.zeros((h, w, l, 2), np.float32)
+    paf_sb = np.zeros((h, w, l), np.float32)
+    paf_db = np.zeros((h, w, l), np.float32)
+    paf_ss = np.full((h, w, l), inv_softplus(2.0), np.float32)
+    paf_ds = np.full((h, w, l), inv_softplus(2.0), np.float32)
+
+    for person in people:
+        for k, (x, y) in person.items():
+            gx, gy = x / stride, y / stride
+            for oy in range(-1, 2):
+                for ox in range(-1, 2):
+                    cy, cx = int(gy) + oy, int(gx) + ox
+                    if 0 <= cy < h and 0 <= cx < w:
+                        pif_conf[cy, cx, k] = 8.0
+                        pif_vec[cy, cx, k] = (gx - cx, gy - cy)
+        for li, (a, b) in enumerate(PIFPAF_BONES):
+            a, b = int(a), int(b)
+            if a not in person or b not in person:
+                continue
+            ax, ay = np.array(person[a]) / stride
+            bx, by = np.array(person[b]) / stride
+            for t in np.linspace(0.2, 0.8, 8):
+                cx = int(round(ax + t * (bx - ax)))
+                cy = int(round(ay + t * (by - ay)))
+                if 0 <= cy < h and 0 <= cx < w:
+                    paf_conf[cy, cx, li] = 8.0
+                    paf_src[cy, cx, li] = (ax - cx, ay - cy)
+                    paf_dst[cy, cx, li] = (bx - cx, by - cy)
+    return {
+        "pif_conf": pif_conf[None], "pif_vec": pif_vec[None],
+        "pif_bmin": pif_logb[None], "pif_scale": pif_scale[None],
+        "paf_conf": paf_conf[None], "paf_src_vec": paf_src[None],
+        "paf_dst_vec": paf_dst[None], "paf_src_bmin": paf_sb[None],
+        "paf_dst_bmin": paf_db[None], "paf_src_scale": paf_ss[None],
+        "paf_dst_scale": paf_ds[None],
+    }
+
+
+TWO_PEOPLE = [
+    {i: (80 + 10 * (i % 5), 60 + 18 * (i // 3)) for i in range(17)},
+    {i: (280 + 10 * (i % 5), 120 + 18 * (i // 3)) for i in range(17)},
+]
+
+
+def test_decode_two_people():
+    fields = synth_fields(TWO_PEOPLE)
+    out = pifpaf_decode_batch(
+        fields, PifPafDecoderConfig(), 8, (368, 432)
+    )
+    valid = np.asarray(out.valid[0])
+    assert valid.sum() == 2, f"expected 2 humans, got {valid.sum()}"
+    coords = np.asarray(out.coords[0])
+    pvalid = np.asarray(out.part_valid[0])
+    for gt in TWO_PEOPLE:
+        gx, gy = gt[0]
+        best = min(
+            np.nonzero(valid)[0],
+            key=lambda hid: abs(coords[hid, 0, 0] * 432 - gx),
+        )
+        n_ok = 0
+        for k, (x, y) in gt.items():
+            if pvalid[best, k]:
+                px_, py_ = coords[best, k] * (432, 368)
+                if abs(px_ - x) < 10 and abs(py_ - y) < 10:
+                    n_ok += 1
+        assert n_ok >= 13, f"only {n_ok}/17 keypoints matched"
+
+
+def test_decode_empty():
+    fields = synth_fields([])
+    out = pifpaf_decode_batch(fields, PifPafDecoderConfig(), 8, (368, 432))
+    assert np.asarray(out.valid).sum() == 0
+
+
+def test_total_loss_finite():
+    fields = synth_fields(TWO_PEOPLE)
+    target = {k: v.copy() for k, v in fields.items()}
+    # conf targets are probabilities (0/1), with NaN allowed
+    target["pif_conf"] = (target["pif_conf"] > 0).astype(np.float32)
+    target["paf_conf"] = (target["paf_conf"] > 0).astype(np.float32)
+    total, parts = pifpaf_loss(fields, target)
+    assert np.isfinite(float(total))
+    assert len(parts) == 8
