@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Evaluation entry point (reference: /root/reference/eval.py CLI surface)."""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hyperpose_tpu import config as Config
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Hyperpose-TPU evaluation")
+    parser.add_argument("--model_type", type=str,
+                        default="LightweightOpenpose",
+                        choices=[m.name for m in Config.MODEL])
+    parser.add_argument("--model_backbone", type=str, default="Default",
+                        choices=[b.name for b in Config.BACKBONE])
+    parser.add_argument("--model_name", type=str, default="default_name")
+    parser.add_argument("--dataset_type", type=str, default="MSCOCO",
+                        choices=[d.name for d in Config.DATA])
+    parser.add_argument("--dataset_version", type=str, default="2017")
+    parser.add_argument("--dataset_path", type=str, default="./data")
+    parser.add_argument("--eval_num", type=int, default=None,
+                        help="number of images to evaluate (None = all)")
+    parser.add_argument("--multiscale", action="store_true")
+    parser.add_argument("--weights", type=str, default=None,
+                        help="npz weights path; defaults to "
+                             "<model_dir>/newest_model.npz")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    Config.set_model_name(args.model_name)
+    Config.set_model_type(Config.MODEL[args.model_type])
+    Config.set_model_backbone(Config.BACKBONE[args.model_backbone])
+    Config.set_dataset_type(Config.DATA[args.dataset_type])
+    Config.set_dataset_version(args.dataset_version)
+    Config.set_dataset_path(args.dataset_path)
+    config = Config.get_config()
+    config.eval.multiscale = args.multiscale
+
+    import jax
+
+    from hyperpose_tpu import models as Model
+    from hyperpose_tpu.data.base import get_dataset
+    from hyperpose_tpu.train.checkpoint import load_weights_npz
+
+    model = Model.get_model(config)
+    dataset = get_dataset(config)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jax.numpy.zeros((1, config.model.hin, config.model.win, 3)),
+        train=False,
+    )
+    weights = args.weights or os.path.join(
+        config.model.model_dir, "newest_model.npz"
+    )
+    if os.path.exists(weights):
+        variables = load_weights_npz(variables, weights)
+        print(f"loaded weights from {weights}")
+    else:
+        print(f"WARNING: {weights} not found, evaluating random init")
+
+    evaluate = Model.get_evaluate(config)
+    metrics = evaluate(model, variables, dataset, limit=args.eval_num)
+    print(metrics)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Facade coverage: every model type constructs through get_model and the
+component getters return callables."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperpose_tpu import Config, Model
+
+
+@pytest.fixture(autouse=True)
+def reset_config():
+    Config.reset()
+    yield
+    Config.reset()
+
+
+@pytest.mark.parametrize("model_type", list(Config.MODEL))
+def test_get_model_constructs(model_type):
+    Config.set_model_type(model_type)
+    Config.set_compute_dtype("float32")
+    cfg = Config.get_config(create_dirs=False)
+    model = Model.get_model(cfg)
+    assert model is not None
+    # tiny forward
+    hw = (64, 64)
+    x = jnp.zeros((1, *hw, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert isinstance(out, dict)
+
+
+def test_component_getters():
+    Config.set_model_type(Config.MODEL.LightweightOpenpose)
+    cfg = Config.get_config(create_dirs=False)
+    assert Model.get_augmentor(cfg) is not None
+    assert callable(Model.get_preprocessor(cfg))
+    assert callable(Model.get_postprocessor(cfg))
+    assert callable(Model.get_train(cfg))
+    assert callable(Model.get_evaluate(cfg))
+    assert callable(Model.get_test(cfg))
+    topo = Model.get_topology(cfg)
+    assert topo.n_limbs == 19
+
+
+def test_backbone_override():
+    Config.set_model_type(Config.MODEL.LightweightOpenpose)
+    Config.set_model_backbone(Config.BACKBONE.Vggtiny)
+    Config.set_compute_dtype("float32")
+    cfg = Config.get_config(create_dirs=False)
+    model = Model.get_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert "backbone" in variables["params"]
+
+
+def test_mpii_eval_metric():
+    from hyperpose_tpu.eval.mpii_eval import pckh_eval
+
+    rng = np.random.default_rng(0)
+    gt_kpts = np.zeros((2, 16, 3), np.float32)
+    gt_kpts[:, :, :2] = rng.uniform(50, 200, (2, 16, 2))
+    gt_kpts[:, :, 2] = 1
+    heads = np.array([[10, 10, 60, 60], [100, 100, 150, 150]], np.float32)
+    gt = {0: (gt_kpts, heads)}
+    # perfect predictions
+    preds = [
+        {"image_id": 0, "keypoints": np.concatenate(
+            [gt_kpts[m, :, :2], np.ones((16, 1))], -1).reshape(-1).tolist(),
+         "score": 1.0}
+        for m in range(2)
+    ]
+    res = pckh_eval(preds, gt)
+    assert res["PCKh"] == pytest.approx(1.0)
+    # garbage predictions
+    bad = [
+        {"image_id": 0,
+         "keypoints": (rng.uniform(300, 400, 48)).tolist(), "score": 1.0}
+    ]
+    res_bad = pckh_eval(bad, gt)
+    assert res_bad["PCKh"] < 0.2
+
+
+def test_export_roundtrip(tmp_path):
+    from hyperpose_tpu.utils.export import (
+        export_serialized, load_serialized, measure_flops,
+    )
+
+    def fn(x):
+        return x * 2.0 + 1.0
+
+    x = jnp.arange(8, dtype=jnp.float32)
+    path = str(tmp_path / "fn.jaxexport")
+    export_serialized(fn, (x,), path)
+    loaded = load_serialized(path)
+    np.testing.assert_allclose(np.asarray(loaded(x)), np.asarray(fn(x)))
+    stats = measure_flops(fn, x)
+    assert "flops" in stats

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Training entry point (reference: /root/reference/train.py CLI surface)."""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hyperpose_tpu import config as Config
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Hyperpose-TPU training")
+    parser.add_argument("--model_type", type=str,
+                        default="LightweightOpenpose",
+                        choices=[m.name for m in Config.MODEL])
+    parser.add_argument("--model_backbone", type=str, default="Default",
+                        choices=[b.name for b in Config.BACKBONE])
+    parser.add_argument("--model_name", type=str, default="default_name")
+    parser.add_argument("--dataset_type", type=str, default="MSCOCO",
+                        choices=[d.name for d in Config.DATA])
+    parser.add_argument("--dataset_version", type=str, default="2017")
+    parser.add_argument("--dataset_path", type=str, default="./data")
+    parser.add_argument("--train_type", type=str, default="Single_train",
+                        choices=[t.name for t in Config.TRAIN])
+    parser.add_argument("--kf_optimizer", "--sync_type", dest="sync_type",
+                        type=str, default="Sync_sgd",
+                        choices=[s.name for s in Config.SYNC])
+    parser.add_argument("--optim_type", type=str, default="Adam",
+                        choices=[o.name for o in Config.OPTIM])
+    parser.add_argument("--use_official_dataset", type=bool, default=True)
+    parser.add_argument("--domainadapt_data_path", type=str, default=None)
+    parser.add_argument("--log_interval", type=int, default=None)
+    parser.add_argument("--vis_interval", type=int, default=None)
+    parser.add_argument("--save_interval", type=int, default=None)
+    parser.add_argument("--n_step", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--lr_init", type=float, default=None)
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    Config.set_model_name(args.model_name)
+    Config.set_model_type(Config.MODEL[args.model_type])
+    Config.set_model_backbone(Config.BACKBONE[args.model_backbone])
+    Config.set_dataset_type(Config.DATA[args.dataset_type])
+    Config.set_dataset_version(args.dataset_version)
+    Config.set_dataset_path(args.dataset_path)
+    Config.set_train_type(Config.TRAIN[args.train_type])
+    Config.set_kungfu_option(Config.SYNC[args.sync_type])
+    Config.set_optim_type(Config.OPTIM[args.optim_type])
+    Config.set_official_dataset(args.use_official_dataset)
+    Config.set_compute_dtype(args.compute_dtype)
+    if args.domainadapt_data_path:
+        import glob
+
+        Config.set_domainadapt_dataset(
+            glob.glob(os.path.join(args.domainadapt_data_path, "*"))
+        )
+    if args.log_interval:
+        Config.set_log_interval(args.log_interval)
+    if args.save_interval:
+        Config.set_save_interval(args.save_interval)
+    if args.batch_size:
+        Config.set_batch_size(args.batch_size)
+    if args.lr_init:
+        Config.set_learning_rate(args.lr_init)
+
+    config = Config.get_config()
+    if args.n_step:
+        config.train.n_step = args.n_step
+
+    from hyperpose_tpu import models as Model
+    from hyperpose_tpu.data.base import get_dataset
+
+    model = Model.get_model(config)
+    train = Model.get_train(config)
+    dataset = get_dataset(config)
+    train(model, dataset)
+
+
+if __name__ == "__main__":
+    main()
