@@ -84,6 +84,40 @@ class PoseEngine:
 
         return step
 
+    @functools.cached_property
+    def _step_packed(self):
+        """Fused step returning ONE flat f32 array so remote/streaming hosts
+        pay a single device->host transfer per batch."""
+        step = self._step
+
+        @jax.jit
+        def packed(variables, images_u8):
+            d = step(variables, images_u8)
+            b = d.coords.shape[0]
+            return jnp.concatenate([
+                d.coords.reshape(b, -1),
+                d.part_scores.reshape(b, -1),
+                d.part_valid.astype(jnp.float32).reshape(b, -1),
+                d.scores.reshape(b, -1),
+                d.valid.astype(jnp.float32).reshape(b, -1),
+            ], axis=1)
+
+        return packed
+
+    def unpack_skeletons(self, packed: np.ndarray) -> SkeletonBatch:
+        b = packed.shape[0]
+        mh = self.decoder.max_humans
+        p = self.decoder.n_parts
+        sizes = [mh * p * 2, mh * p, mh * p, mh, mh]
+        offs = np.cumsum([0] + sizes)
+        return SkeletonBatch(
+            coords=packed[:, offs[0]:offs[1]].reshape(b, mh, p, 2),
+            part_scores=packed[:, offs[1]:offs[2]].reshape(b, mh, p),
+            part_valid=packed[:, offs[2]:offs[3]].reshape(b, mh, p) > 0.5,
+            scores=packed[:, offs[3]:offs[4]].reshape(b, mh),
+            valid=packed[:, offs[4]:offs[5]].reshape(b, mh) > 0.5,
+        )
+
     def warmup(self) -> float:
         """Compile the fused step; returns compile seconds
         (reference analog: engine build, src/tensorrt.cpp:121-223)."""
@@ -91,6 +125,7 @@ class PoseEngine:
         h, w = self.input_hw
         dummy = jnp.zeros((self.max_batch_size, h, w, 3), jnp.uint8)
         jax.block_until_ready(self._step(self.variables, dummy).coords)
+        np.asarray(self._step_packed(self.variables, dummy))
         return time.perf_counter() - t0
 
     def infer_batch_device(self, images_u8) -> Any:

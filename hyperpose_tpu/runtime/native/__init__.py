@@ -1,0 +1,132 @@
+"""ctypes bindings for the native runtime core (libhp_runtime.so).
+
+Auto-builds the shared library on first import if a compiler is available;
+falls back to pure-Python equivalents otherwise (mirrors the reference's
+FAKE build that keeps the API alive without the native backend,
+reference: cmake/hyperpose.fake.cmake).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libhp_runtime.so")
+_SRC = os.path.join(_HERE, "hp_runtime.cpp")
+
+_lib = None
+_build_lock = threading.Lock()
+
+
+def _build() -> str | None:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+             "-o", _SO, _SRC, "-lpthread"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _SO
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+
+
+def get_lib():
+    """Load (building if necessary) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _build_lock:
+        if _lib is not None:
+            return _lib
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        i64 = ctypes.c_int64
+        p = ctypes.c_void_p
+        lib.hp_queue_new.restype = p
+        lib.hp_queue_new.argtypes = [i64]
+        lib.hp_queue_free.argtypes = [p]
+        lib.hp_queue_push.restype = ctypes.c_int
+        lib.hp_queue_push.argtypes = [p, i64]
+        lib.hp_queue_try_push.restype = ctypes.c_int
+        lib.hp_queue_try_push.argtypes = [p, i64]
+        lib.hp_queue_pop.restype = ctypes.c_int
+        lib.hp_queue_pop.argtypes = [p, ctypes.POINTER(i64), i64]
+        lib.hp_queue_dump.restype = i64
+        lib.hp_queue_dump.argtypes = [p, ctypes.POINTER(i64), i64, i64]
+        lib.hp_queue_close.argtypes = [p]
+        lib.hp_queue_stats.argtypes = [p, ctypes.POINTER(i64)]
+        lib.hp_copy_into_batch.argtypes = [
+            ctypes.c_char_p, i64, i64, ctypes.c_char_p, i64, i64, i64,
+        ]
+        _lib = lib
+        return _lib
+
+
+class NativeQueue:
+    """Bounded MPMC token queue backed by the C++ ring buffer; carries
+    Python objects through a token registry."""
+
+    def __init__(self, capacity: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._q = lib.hp_queue_new(capacity)
+        self._objects: dict[int, object] = {}
+        self._next = 1
+        self._reg_lock = threading.Lock()
+
+    def push(self, obj) -> bool:
+        with self._reg_lock:
+            token = self._next
+            self._next += 1
+            self._objects[token] = obj
+        if self._lib.hp_queue_push(self._q, token) != 0:
+            with self._reg_lock:
+                self._objects.pop(token, None)
+            return False
+        return True
+
+    def pop(self, timeout_ms: int = -1):
+        out = ctypes.c_int64(0)
+        rc = self._lib.hp_queue_pop(self._q, ctypes.byref(out), timeout_ms)
+        if rc == 1:
+            raise TimeoutError
+        if rc == -1:
+            raise EOFError
+        with self._reg_lock:
+            return self._objects.pop(out.value)
+
+    def dump(self, max_items: int, timeout_ms: int = -1) -> list:
+        buf = (ctypes.c_int64 * max_items)()
+        n = self._lib.hp_queue_dump(self._q, buf, max_items, timeout_ms)
+        if n == 0:
+            stats = self.stats()
+            if stats["closed"] and stats["size"] == 0:
+                raise EOFError
+            return []
+        with self._reg_lock:
+            return [self._objects.pop(buf[i]) for i in range(n)]
+
+    def close(self):
+        self._lib.hp_queue_close(self._q)
+
+    def stats(self) -> dict:
+        s = (ctypes.c_int64 * 5)()
+        self._lib.hp_queue_stats(self._q, s)
+        return {
+            "size": s[0], "capacity": s[1], "pushed": s[2], "popped": s[3],
+            "closed": bool(s[4]),
+        }
+
+    def __del__(self):
+        try:
+            self._lib.hp_queue_free(self._q)
+        except Exception:
+            pass

@@ -1,0 +1,77 @@
+"""Streaming runtime: native queues + ordered pipeline."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from hyperpose_tpu.runtime.stream import StreamProcessor, _PyQueue, _make_queue
+
+
+def test_native_queue_order_and_close():
+    q = _make_queue(16)
+    results = []
+
+    def consumer():
+        while True:
+            try:
+                results.extend(q.dump(4, timeout_ms=300))
+            except EOFError:
+                return
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    for i in range(50):
+        q.push(i)
+    time.sleep(0.2)
+    q.close()
+    t.join(timeout=5)
+    assert results == list(range(50))
+
+
+def test_py_queue_fallback_semantics():
+    q = _PyQueue(4)
+    for i in range(4):
+        q.push(i)
+    assert q.dump(10, timeout_ms=100) == [0, 1, 2, 3]
+    q.close()
+    with pytest.raises(EOFError):
+        q.dump(1, timeout_ms=50)
+
+
+class _FakeEngine:
+    """Minimal engine stand-in (reference analog: BUILD_FAKE backend)."""
+
+    input_hw = (32, 32)
+    max_batch_size = 4
+
+    def infer_batch_device(self, batch):
+        import types
+
+        b = batch.shape[0]
+        return types.SimpleNamespace(
+            coords=np.zeros((b, 2, 18, 2), np.float32),
+            part_scores=np.zeros((b, 2, 18), np.float32),
+            part_valid=np.zeros((b, 2, 18), bool),
+            scores=np.zeros((b, 2), np.float32),
+            valid=np.zeros((b, 2), bool),
+        )
+
+
+def test_stream_pipeline_ordered():
+    engine = _FakeEngine()
+    sp = StreamProcessor(engine, queue_capacity=8)
+
+    frames = (np.full((48, 64, 3), i, np.uint8) for i in range(30))
+    indices = [r.index for r in sp.process(frames)]
+    assert indices == list(range(30))
+    assert sp.frames_out == 30
+
+
+def test_stream_monitor_runs():
+    engine = _FakeEngine()
+    sp = StreamProcessor(engine, queue_capacity=8)
+    sp.add_queue_monitor(interval_ms=50)
+    frames = (np.zeros((48, 64, 3), np.uint8) for _ in range(10))
+    out = list(sp.process(frames))
+    assert len(out) == 10
