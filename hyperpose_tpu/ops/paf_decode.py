@@ -178,12 +178,28 @@ def _limb_pair_scores(
     loc = jnp.floor(loc + 0.5).astype(jnp.int32)   # C++ int(v + 0.5)
     lx = jnp.clip(loc[..., 0], 0, w - 1)
     ly = jnp.clip(loc[..., 1], 0, h - 1)
-    flat_idx = (ly * w + lx).reshape(l, -1)         # [L, K*K*S]
-
-    # Per-limb PAF planes: [L, H*W] per component, one batched gather each.
-    paf_cl = paf.reshape(h * w, 2 * l).T            # [2L, H*W]
-    px = jnp.take_along_axis(paf_cl[0::2], flat_idx, axis=1).reshape(l, k, k, s)
-    py = jnp.take_along_axis(paf_cl[1::2], flat_idx, axis=1).reshape(l, k, k, s)
+    # Sample lookup as one-hot contractions: TPU has no fast scattered
+    # gather, but the MXU eats one-hot matmuls. Row selection is a
+    # [M, H] x [H, W] matmul per (limb, component); column selection is a
+    # masked VPU reduction. Total ~8 GFLOP per batch-16 decode — noise on
+    # the MXU, vs ~17 ms for the equivalent element-gather lowering.
+    m = k * k * s
+    rows_y = ly.reshape(l, m)                       # [L, M]
+    cols_x = lx.reshape(l, m)
+    paf_lhw = paf.reshape(h, w, l, 2).transpose(2, 3, 0, 1)  # [L, 2, H, W]
+    row_onehot = (
+        jnp.arange(h, dtype=jnp.int32)[None, None, :] == rows_y[:, :, None]
+    ).astype(paf.dtype)                             # [L, M, H]
+    rows = jnp.einsum(
+        "lmh,lchw->lcmw", row_onehot, paf_lhw,
+        preferred_element_type=jnp.float32,
+    )                                               # [L, 2, M, W]
+    col_onehot = (
+        jnp.arange(w, dtype=jnp.int32)[None, None, :] == cols_x[:, :, None]
+    ).astype(paf.dtype)                             # [L, M, W]
+    vals = jnp.einsum("lcmw,lmw->lcm", rows, col_onehot)
+    px = vals[:, 0].reshape(l, k, k, s)
+    py = vals[:, 1].reshape(l, k, k, s)
 
     dot = unit[..., 0:1] * px + unit[..., 1:2] * py  # [L,K,K,S]
     crit1 = jnp.sum(dot > cfg.paf_thresh, axis=-1)
@@ -224,28 +240,27 @@ def _greedy_connections(
     top_vals, top_idx = lax.top_k(flat, t)   # sorted desc per limb
     src = (top_idx // k).astype(jnp.int32)
     dst = (top_idx % k).astype(jnp.int32)
-    limb_ids = jnp.arange(l)
+    valid = top_vals > _NEG * 0.5
 
-    def body(i, state):
-        used_a, used_b, accepted = state
-        s_i = src[:, i]
-        d_i = dst[:, i]
-        ok = (
-            (top_vals[:, i] > _NEG * 0.5)
-            & ~used_a[limb_ids, s_i]
-            & ~used_b[limb_ids, d_i]
-        )
-        used_a = used_a.at[limb_ids, s_i].set(used_a[limb_ids, s_i] | ok)
-        used_b = used_b.at[limb_ids, d_i].set(used_b[limb_ids, d_i] | ok)
-        accepted = accepted.at[:, i].set(ok)
-        return used_a, used_b, accepted
+    # Dense fixpoint instead of a T-step sequential scatter loop: candidate
+    # t is accepted iff no earlier ACCEPTED candidate shares its src or dst.
+    # Iterating  accepted <- valid & ~any(conflicts & accepted)  finalizes
+    # the decision of candidate i by round i (induction over the sorted
+    # order), so T rounds reproduce the sequential greedy exactly — but
+    # each round is a tiny dense [L, T, T] op instead of scatters.
+    earlier = (
+        jnp.arange(t)[None, :, None] > jnp.arange(t)[None, None, :]
+    )                                                   # [1, T(i), T(j<i)]
+    conflicts = earlier & (
+        (src[:, :, None] == src[:, None, :])
+        | (dst[:, :, None] == dst[:, None, :])
+    )                                                   # [L, T, T]
 
-    init = (
-        jnp.zeros((l, k), jnp.bool_),
-        jnp.zeros((l, k), jnp.bool_),
-        jnp.zeros((l, t), jnp.bool_),
-    )
-    _, _, accepted = lax.fori_loop(0, t, body, init)
+    def body(_, accepted):
+        suppressed = jnp.any(conflicts & accepted[:, None, :], axis=-1)
+        return valid & ~suppressed
+
+    accepted = lax.fori_loop(0, t, body, valid)
     return src, dst, top_vals, accepted
 
 
@@ -264,40 +279,53 @@ def _assemble(
     """
     p, k = cfg.n_parts, cfg.max_peaks
     n = p * k
-    uf = (limbs[:, 0:1] * k + src).reshape(-1)   # [L*T]
+    uf = (limbs[:, 0:1] * k + src).reshape(-1)   # [E = L*T]
     vf = (limbs[:, 1:2] * k + dst).reshape(-1)
     af = accepted.reshape(-1)
     sf = jnp.where(af, conn_score.reshape(-1), 0.0)
 
+    # Dense adjacency over the (part, peak-slot) node space: two one-hot
+    # outer-product scatters build A once; min-label propagation is then a
+    # masked row-min — pure VPU work, no serialized scatters in the loop.
+    u_oh = jax.nn.one_hot(uf, n, dtype=jnp.float32)      # [E, N]
+    v_oh = jax.nn.one_hot(vf, n, dtype=jnp.float32)
+    ae = af.astype(jnp.float32)[:, None]
+    adj = jnp.einsum(
+        "en,em->nm", u_oh * ae, v_oh, preferred_element_type=jnp.float32
+    ) > 0
+    adj = adj | adj.T
+    adj = adj | jnp.eye(n, dtype=jnp.bool_)
+
     labels0 = jnp.arange(n, dtype=jnp.int32)
 
     def prop(_, labels):
-        m = jnp.where(af, jnp.minimum(labels[uf], labels[vf]), n)
-        labels = labels.at[uf].min(m)
-        labels = labels.at[vf].min(m)
-        return labels
+        return jnp.min(
+            jnp.where(adj, labels[None, :], n), axis=1
+        ).astype(jnp.int32)
 
     labels = lax.fori_loop(0, cfg.label_prop_iters, prop, labels0)
 
-    in_edge = (
-        jnp.zeros((n,), jnp.bool_).at[uf].max(af).at[vf].max(af)
-    )
+    in_edge = jnp.any(adj & ~jnp.eye(n, dtype=jnp.bool_), axis=1)
     root_of = labels  # component id per node
-    conn_sum = jnp.zeros((n,), jnp.float32).at[root_of[uf]].add(sf)
 
-    # Per-component part presence and peak-score mass for ranking/filtering.
+    # Component membership as a dense [N(root), N(node)] mask: every
+    # aggregation below becomes a matmul/masked reduction.
+    comp_member = (
+        (root_of[None, :] == labels0[:, None]) & in_edge[None, :]
+    ).astype(jnp.float32)                                # [R, N]
+    edge_root = jnp.einsum(
+        "en,rn->er", u_oh, comp_member, preferred_element_type=jnp.float32
+    )                                                    # [E, R] 0/1
+    conn_sum = jnp.einsum("er,e->r", edge_root, sf)
+
     part_of_node = jnp.repeat(jnp.arange(p, dtype=jnp.int32), k)
-    presence = (
-        jnp.zeros((n * p,), jnp.bool_)
-        .at[root_of * p + part_of_node]
-        .max(in_edge)
-        .reshape(n, p)
-    )
+    part_oh = jax.nn.one_hot(part_of_node, p, dtype=jnp.float32)  # [N, P]
+    presence = jnp.einsum(
+        "rn,np->rp", comp_member, part_oh, preferred_element_type=jnp.float32
+    ) > 0
     n_parts_comp = jnp.sum(presence, axis=-1)
     pscore_flat = peak_score.reshape(n)
-    peak_sum = jnp.zeros((n,), jnp.float32).at[root_of].add(
-        jnp.where(in_edge, pscore_flat, 0.0)
-    )
+    peak_sum = jnp.einsum("rn,n->r", comp_member, pscore_flat)
     comp_score = peak_sum + conn_sum
 
     is_root = (labels == labels0) & in_edge
