@@ -68,6 +68,7 @@ class PafDecoderConfig:
     min_parts: int = 4         # THRESH_PART_CNT
     min_human_score: float = 0.4  # THRESH_HUMAN_SCORE (python eval uses 0.3)
     label_prop_iters: int = 8  # >= skeleton graph diameter
+    use_pallas_peaks: bool = False  # fused Pallas peak kernel (TPU only)
 
     def replace(self, **kw) -> "PafDecoderConfig":
         return dataclasses.replace(self, **kw)
@@ -99,23 +100,33 @@ def find_peaks(
     """
     b, h, w, p = conf.shape
     k = cfg.max_peaks
-    smoothed = gaussian_smooth_nhwc(conf, cfg.smooth_ksize, cfg.smooth_sigma)
-    pooled = same_max_pool_3x3_nhwc(smoothed)
-    is_peak = (smoothed >= pooled) & (smoothed > cfg.conf_thresh)
-    # Plateau tie-break: exact ties (symmetric blobs) would emit every tied
-    # pixel under `==`-style NMS. Two adjacent survivors necessarily hold
-    # equal values, so keep only the candidate whose pixel index is the max
-    # among candidates in its 3x3 window — an exact integer-space rule.
-    pix = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w, 1)
-    cand_idx = jnp.where(is_peak, pix, -1)
-    pooled_idx = lax.reduce_window(
-        jnp.broadcast_to(cand_idx, smoothed.shape),
-        jnp.int32(-1), lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME",
-    )
-    is_peak = is_peak & (pix == pooled_idx)
+    if cfg.use_pallas_peaks:
+        from .pallas.peak_kernel import fused_peak_candidates
 
-    ranked = jnp.where(is_peak, smoothed, _NEG)           # [B,H,W,P]
-    flat = ranked.transpose(0, 3, 1, 2).reshape(b, p, h * w)
+        ranked_pf, smoothed_pf = fused_peak_candidates(
+            conf, cfg.smooth_ksize, cfg.smooth_sigma, cfg.conf_thresh, _NEG
+        )
+        flat = ranked_pf.reshape(b, p, h * w)
+        smoothed = smoothed_pf.transpose(0, 2, 3, 1)
+    else:
+        smoothed = gaussian_smooth_nhwc(
+            conf, cfg.smooth_ksize, cfg.smooth_sigma
+        )
+        pooled = same_max_pool_3x3_nhwc(smoothed)
+        is_peak = (smoothed >= pooled) & (smoothed > cfg.conf_thresh)
+        # Plateau tie-break: exact ties (symmetric blobs) would emit every
+        # tied pixel under `==`-style NMS. Two adjacent survivors necessarily
+        # hold equal values, so keep only the candidate whose pixel index is
+        # the max among candidates in its 3x3 window (integer-space rule).
+        pix = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w, 1)
+        cand_idx = jnp.where(is_peak, pix, -1)
+        pooled_idx = lax.reduce_window(
+            jnp.broadcast_to(cand_idx, smoothed.shape),
+            jnp.int32(-1), lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME",
+        )
+        is_peak = is_peak & (pix == pooled_idx)
+        ranked = jnp.where(is_peak, smoothed, _NEG)       # [B,H,W,P]
+        flat = ranked.transpose(0, 3, 1, 2).reshape(b, p, h * w)
     top_vals, top_idx = lax.top_k(flat, k)                # [B,P,K]
     valid = top_vals > _NEG * 0.5
     ys = top_idx // w

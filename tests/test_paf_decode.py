@@ -137,3 +137,32 @@ def test_decode_subpixel_accuracy():
         if pvalid[hid, 0]:
             hits.append((coords[hid, 0, 0] * 54, coords[hid, 0, 1] * 46))
     assert any(abs(x - 10.5) < 0.5 and abs(y - 6.5) < 0.5 for x, y in hits)
+
+
+def test_pallas_peak_kernel_matches_xla():
+    """Fused Pallas kernel (interpret mode on CPU) vs the XLA front end."""
+    import jax.numpy as jnp
+
+    from hyperpose_tpu.ops.image import (
+        gaussian_smooth_nhwc, same_max_pool_3x3_nhwc,
+    )
+    from hyperpose_tpu.ops.pallas.peak_kernel import fused_peak_candidates
+
+    conf, _ = make_synthetic_maps(TWO_PEOPLE)
+    x = jnp.asarray(conf[None, ..., :18])
+    ranked, sm = fused_peak_candidates(x, interpret=True)
+    sm_x = gaussian_smooth_nhwc(x, 5, 0.75)
+    # Interior smoothed values agree (borders differ: zero vs reflect pad).
+    smk = np.asarray(sm).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(
+        smk[:, 3:-3, 3:-3], np.asarray(sm_x)[:, 3:-3, 3:-3], atol=1e-5
+    )
+    # Peaks (well inside the interior for these maps) match the XLA NMS.
+    pooled = same_max_pool_3x3_nhwc(sm_x)
+    is_peak_x = np.asarray((sm_x >= pooled) & (sm_x > 0.05))
+    is_peak_k = np.asarray(ranked).transpose(0, 2, 3, 1) > -1e29
+    inner = np.s_[:, 3:-3, 3:-3, :]
+    # kernel applies the tie-break; XLA baseline here does not, so kernel
+    # peaks must be a subset and cover every isolated XLA peak
+    assert (is_peak_k[inner] <= is_peak_x[inner]).all()
+    assert is_peak_k.sum() >= 2  # both noses found
