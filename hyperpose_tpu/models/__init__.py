@@ -139,9 +139,9 @@ def get_preprocessor(config: Config):
             out_hw=(m.hout, m.wout), nei=(m.hnei, m.wnei),
         )
     if mt == MODEL.Pifpaf:
-        raise NotImplementedError(
-            "pifpaf on-device target generation lands with its trainer; "
-            "use data.targets pif/paf map builders"
+        return partial(
+            T.pifpaf_targets, limbs=topo.limbs, in_hw=(m.hin, m.win),
+            out_hw=(m.hout, m.wout),
         )
     return partial(
         T.openpose_targets, limbs=topo.limbs, in_hw=(m.hin, m.win),

@@ -111,25 +111,19 @@ class Trainer:
         bsh_row = NamedSharding(self.mesh, P("dp"))  # batch-only tensors
         optimizer = self.optimizer
 
-        # Model confidence channels = body parts + background; the keypoint
-        # array may carry a dead background row (converter convention) that
-        # must not become a target channel.
-        n_parts = cfg.model.n_pos - 1
+        targets_loss = self._family_targets_loss(cfg, model, limbs, in_hw,
+                                                 out_hw)
 
-        def step(params, batch_stats, opt_state, images, kpts, valid, mask):
-            targets = openpose_targets(
-                kpts[:, :, :n_parts], valid[:, :, :n_parts], limbs,
-                in_hw, out_hw, mask=mask,
-            )
-
+        def step(params, batch_stats, opt_state, images, kpts, valid, mask,
+                 bbxs):
             def loss_wrapped(p):
                 variables = {"params": p, "batch_stats": batch_stats}
                 x = images.astype(model.dtype) / 255.0
                 predict, updates = model.apply(
                     variables, x, train=True, mutable=["batch_stats"]
                 )
-                pd_loss, parts = openpose_loss(
-                    predict, targets["conf_map"], targets["paf_map"], mask
+                pd_loss, parts = targets_loss(
+                    predict, kpts, valid, mask, bbxs
                 )
                 re_loss = l2_regularization(p, wd)
                 total = pd_loss + re_loss
@@ -145,10 +139,59 @@ class Trainer:
 
         return jax.jit(
             step,
-            in_shardings=(rep, rep, rep, bsh, bsh_row, bsh_row, bsh),
+            in_shardings=(rep, rep, rep, bsh, bsh_row, bsh_row, bsh, bsh_row),
             out_shardings=(rep, rep, rep, rep),
             donate_argnums=(0, 1, 2),
         )
+
+    @staticmethod
+    def _family_targets_loss(cfg, model, limbs, in_hw, out_hw):
+        """On-device target generation + loss, dispatched per model family
+        (replaces the reference's per-algorithm PreProcessor + cal_loss
+        pairing, Model/__init__.py:312-333)."""
+        from ..config import MODEL
+
+        mt = cfg.model.model_type
+        if mt == MODEL.PoseProposal:
+            from ..data.targets import ppn_targets
+            from ..models.pose_proposal import pose_proposal_loss
+
+            def ppn_fn(predict, kpts, valid, mask, bbxs):
+                targets = ppn_targets(
+                    kpts, valid, bbxs, limbs, in_hw, out_hw,
+                    nei=(cfg.model.hnei, cfg.model.wnei),
+                )
+                return pose_proposal_loss(model, predict, targets)
+
+            return ppn_fn
+
+        if mt == MODEL.Pifpaf:
+            from ..data.targets import pifpaf_targets
+            from ..models.pifpaf import pifpaf_loss
+
+            def pifpaf_fn(predict, kpts, valid, mask, bbxs):
+                targets = pifpaf_targets(
+                    kpts, valid, limbs, in_hw, out_hw, mask=mask
+                )
+                return pifpaf_loss(predict, targets)
+
+            return pifpaf_fn
+
+        # OpenPose family. Model confidence channels = parts + background;
+        # the keypoint array may carry a dead background row (converter
+        # convention) that must not become a target channel.
+        n_parts = cfg.model.n_pos - 1
+
+        def opps_fn(predict, kpts, valid, mask, bbxs):
+            targets = openpose_targets(
+                kpts[:, :, :n_parts], valid[:, :, :n_parts], limbs,
+                in_hw, out_hw, mask=mask,
+            )
+            return openpose_loss(
+                predict, targets["conf_map"], targets["paf_map"], mask
+            )
+
+        return opps_fn
 
     # -- loop ----------------------------------------------------------------
 
@@ -207,8 +250,10 @@ class Trainer:
                 kpts = jax.device_put(batch["kpts"], bsh_row)
                 valid = jax.device_put(batch["valid"], bsh_row)
                 mask = jax.device_put(batch["mask"], bsh)
+                bbxs = jax.device_put(batch["bbxs"], bsh_row)
                 params, batch_stats, opt_state, metrics = step_fn(
-                    params, batch_stats, opt_state, images, kpts, valid, mask
+                    params, batch_stats, opt_state, images, kpts, valid,
+                    mask, bbxs,
                 )
                 if (step_idx + 1) % log_every == 0:
                     host_metrics = {

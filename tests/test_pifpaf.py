@@ -150,3 +150,50 @@ def test_total_loss_finite():
     total, parts = pifpaf_loss(fields, target)
     assert np.isfinite(float(total))
     assert len(parts) == 8
+
+
+def test_pifpaf_targets_roundtrip():
+    """Device-generated CIF/CAF targets, fed back as perfect predictions,
+    decode to the original people."""
+    from hyperpose_tpu.data.targets import pifpaf_targets
+
+    in_hw, out_hw = (368, 432), (46, 54)
+    people = TWO_PEOPLE
+    kpts = np.zeros((1, 2, 17, 2), np.float32)
+    valid = np.ones((1, 2, 17), bool)
+    for m, person in enumerate(people):
+        for k, (x, y) in person.items():
+            kpts[0, m, k] = (x, y)
+    t = pifpaf_targets(kpts, valid, PIFPAF_BONES, in_hw, out_hw)
+    assert t["pif_conf"].shape == (1, 46, 54, 17)
+    assert t["paf_src_vec"].shape == (1, 46, 54, 19, 2)
+    pc = np.asarray(t["pif_conf"])
+    assert np.nansum(pc) > 0
+
+    def to_logit(conf):
+        c = np.nan_to_num(np.asarray(conf), nan=0.0)
+        return np.where(c > 0.5, 8.0, -10.0).astype(np.float32)
+
+    def raw_vec(v):
+        return np.nan_to_num(np.asarray(v), nan=0.0).astype(np.float32)
+
+    def raw_scale(s):
+        s = np.nan_to_num(np.asarray(s), nan=1.0)
+        return inv_softplus(np.maximum(s, 0.2)).astype(np.float32)
+
+    predict = {
+        "pif_conf": to_logit(t["pif_conf"]),
+        "pif_vec": raw_vec(t["pif_vec"]),
+        "pif_bmin": np.zeros_like(to_logit(t["pif_conf"])),
+        "pif_scale": raw_scale(t["pif_scale"]),
+        "paf_conf": to_logit(t["paf_conf"]),
+        "paf_src_vec": raw_vec(t["paf_src_vec"]),
+        "paf_dst_vec": raw_vec(t["paf_dst_vec"]),
+        "paf_src_bmin": np.zeros_like(to_logit(t["paf_conf"])),
+        "paf_dst_bmin": np.zeros_like(to_logit(t["paf_conf"])),
+        "paf_src_scale": raw_scale(t["paf_src_scale"]),
+        "paf_dst_scale": raw_scale(t["paf_dst_scale"]),
+    }
+    out = pifpaf_decode_batch(predict, PifPafDecoderConfig(), 8, in_hw)
+    n = int(np.asarray(out.valid[0]).sum())
+    assert n == 2, f"expected 2 humans from target roundtrip, got {n}"

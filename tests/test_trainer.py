@@ -87,3 +87,41 @@ def test_trainer_two_steps_and_resume(tmp_path, tiny_config):
     trainer2.train(pipe2, n_step=3)
     pipe2.stop()
     assert trainer2.ckpt.latest_step() == 3
+
+
+@pytest.mark.parametrize("model_type,hw,out_hw,n_parts", [
+    ("PoseProposal", (96, 96), (3, 3), 18),
+    ("Pifpaf", (64, 64), (8, 8), 17),
+])
+def test_trainer_other_families(tmp_path, model_type, hw, out_hw, n_parts):
+    from hyperpose_tpu import config as C2
+    from hyperpose_tpu import models as M2
+    from hyperpose_tpu.train.trainer import Trainer
+
+    C2.reset()
+    C2.set_model_name(f"test_{model_type}")
+    C2.set_model_type(C2.MODEL[model_type])
+    C2.set_model_inout(hin=hw[0], win=hw[1], hout=out_hw[0], wout=out_hw[1])
+    C2.set_batch_size(2)
+    C2.set_compute_dtype("float32")
+    cfg = C2.get_config(create_dirs=False)
+    cfg.model.model_dir = str(tmp_path / "model")
+    cfg.train.save_interval = 100
+    cfg.log.log_interval = 1
+    os.makedirs(cfg.model.model_dir, exist_ok=True)
+
+    records = synthetic_records(tmp_path, n=4)
+    # trim/grow keypoint rows to this family's part count
+    for r in records:
+        r.kpts = r.kpts[:, :n_parts]
+        r.valid = r.valid[:, :n_parts]
+    topo = M2.get_topology(cfg)
+    from hyperpose_tpu.data.augment import BasicAugmentor
+    aug = BasicAugmentor(hin=hw[0], win=hw[1], flip_list=topo.flip_list)
+    model = M2.get_model(cfg)
+    trainer = Trainer(cfg, model, topo.limbs)
+    pipe = TrainPipeline(records, aug, batch_size=2, out_hw=out_hw,
+                         max_people=3, n_parts=n_parts, n_workers=1)
+    params, stats = trainer.train(pipe, n_step=2)
+    pipe.stop()
+    assert params is not None
