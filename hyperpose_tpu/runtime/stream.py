@@ -278,6 +278,8 @@ class StreamProcessor:
         src/stream.cpp:149-167)."""
 
         def monitor():
+            last_out = -1
+            stalled_for = 0
             while not self._stop.is_set():
                 time.sleep(interval_ms / 1000)
                 logger.info(
@@ -288,6 +290,26 @@ class StreamProcessor:
                     self.result_q.stats()["size"],
                     self.frames_in, self.frames_out,
                 )
+                # Stall watchdog (the reference only logs sizes;
+                # src/stream.cpp:149-167): flag a pipeline that stops
+                # making progress while work remains queued.
+                if self.frames_out == last_out and (
+                    self.input_q.stats()["size"]
+                    or self.resized_q.stats()["size"]
+                ):
+                    stalled_for += 1
+                    if stalled_for >= 5:
+                        dead = [
+                            i for i, t in enumerate(self._threads)
+                            if not t.is_alive()
+                        ]
+                        logger.warning(
+                            "stream STALLED for %d intervals (dead stage "
+                            "threads: %s)", stalled_for, dead,
+                        )
+                else:
+                    stalled_for = 0
+                last_out = self.frames_out
 
         self._monitor = threading.Thread(target=monitor, daemon=True)
         self._monitor.start()
