@@ -114,6 +114,41 @@ class Trainer:
         targets_loss = self._family_targets_loss(cfg, model, limbs, in_hw,
                                                  out_hw)
 
+        from ..config import SYNC
+
+        dp = int(self.mesh.shape["dp"])
+        if cfg.train.sync_type != SYNC.Sync_sgd and dp > 1:
+            # Sync_avg / Pair_avg: per-device local steps with explicit
+            # weight exchange (reference: KungFu Synchronous/PairAveraging
+            # optimizers, Model/train.py:512-522).
+            from ..parallel.sync_modes import make_local_step_train_fn
+
+            mode = ("sync_avg" if cfg.train.sync_type == SYNC.Sync_avg
+                    else "pair_avg")
+
+            def loss_fn(predict, tgt):
+                return targets_loss(
+                    predict, tgt["kpts"], tgt["valid"], tgt["mask"],
+                    tgt["bbxs"],
+                )
+
+            inner = make_local_step_train_fn(
+                model, loss_fn, optimizer, self.mesh, mode,
+                preprocess=lambda im: im.astype(model.dtype) / 255.0,
+            )
+
+            def sync_step(params, batch_stats, opt_state, images, kpts,
+                          valid, mask, bbxs, step_i):
+                tgt = {"kpts": kpts, "valid": valid, "mask": mask,
+                       "bbxs": bbxs}
+                return inner(params, batch_stats, opt_state, images, tgt,
+                             step_i)
+
+            self._step_takes_index = True
+            return sync_step
+
+        self._step_takes_index = False
+
         def step(params, batch_stats, opt_state, images, kpts, valid, mask,
                  bbxs):
             def loss_wrapped(p):
@@ -251,10 +286,16 @@ class Trainer:
                 valid = jax.device_put(batch["valid"], bsh_row)
                 mask = jax.device_put(batch["mask"], bsh)
                 bbxs = jax.device_put(batch["bbxs"], bsh_row)
-                params, batch_stats, opt_state, metrics = step_fn(
-                    params, batch_stats, opt_state, images, kpts, valid,
-                    mask, bbxs,
-                )
+                if getattr(self, "_step_takes_index", False):
+                    params, batch_stats, opt_state, metrics = step_fn(
+                        params, batch_stats, opt_state, images, kpts, valid,
+                        mask, bbxs, jnp.int32(step_idx),
+                    )
+                else:
+                    params, batch_stats, opt_state, metrics = step_fn(
+                        params, batch_stats, opt_state, images, kpts, valid,
+                        mask, bbxs,
+                    )
                 if (step_idx + 1) % log_every == 0:
                     host_metrics = {
                         k: float(v) for k, v in metrics.items()

@@ -48,3 +48,47 @@ def test_sharded_stream_engine_matches_single_device():
     np.testing.assert_array_equal(
         np.asarray(sharded.valid), np.asarray(single.valid)
     )
+
+
+@pytest.mark.parametrize("mode", ["sync_avg", "pair_avg"])
+def test_sync_modes_run_and_keep_replication(mode):
+    import optax
+
+    from hyperpose_tpu.parallel.sync_modes import make_local_step_train_fn
+    from hyperpose_tpu.models.openpose import openpose_loss
+
+    mesh = make_mesh(n_devices=4, spatial=1)
+    model = LightWeightOpenPose(dtype=jnp.float32)
+    hw = (32, 32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)), train=True
+    )
+    optimizer = optax.sgd(1e-3)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    opt_state = optimizer.init(params)
+
+    def loss_fn(predict, targets):
+        return openpose_loss(predict, targets["conf_map"], targets["paf_map"])
+
+    step = make_local_step_train_fn(model, loss_fn, optimizer, mesh, mode)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((8, *hw, 3)).astype(np.float32))
+    targets = {
+        "conf_map": jnp.asarray(rng.random((8, 4, 4, 19)).astype(np.float32)),
+        "paf_map": jnp.asarray(rng.random((8, 4, 4, 38)).astype(np.float32)),
+    }
+    with mesh:
+        p1, s1, o1, m1 = step(
+            params, stats, opt_state, images, targets, jnp.int32(0)
+        )
+        p2, s2, o2, m2 = step(p1, s1, o1, images, targets, jnp.int32(1))
+    assert np.isfinite(float(m2["total_loss"]))
+    # params changed and every leaf is finite
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), params, p2
+    )
+    assert max(jax.tree.leaves(diff)) > 0
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(p2)
+    )

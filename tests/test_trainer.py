@@ -125,3 +125,22 @@ def test_trainer_other_families(tmp_path, model_type, hw, out_hw, n_parts):
     params, stats = trainer.train(pipe, n_step=2)
     pipe.stop()
     assert params is not None
+
+
+def test_trainer_sync_avg_mode(tmp_path, tiny_config):
+    """Sync_avg (KungFu SynchronousAveraging analog) trains on the virtual
+    mesh."""
+    from hyperpose_tpu import config as C3
+    from hyperpose_tpu.train.trainer import Trainer
+
+    tiny_config.train.sync_type = C3.SYNC.Sync_avg
+    tiny_config.train.n_devices = 4
+    records = synthetic_records(tmp_path)
+    aug = BasicAugmentor(hin=64, win=64, flip_list=COCO_FLIP_LIST)
+    model = LightWeightOpenPose()
+    trainer = Trainer(tiny_config, model, COCO_LIMBS)
+    pipe = TrainPipeline(records, aug, batch_size=4, out_hw=(8, 8),
+                         max_people=5, n_workers=1)
+    params, stats = trainer.train(pipe, n_step=2)
+    pipe.stop()
+    assert params is not None
