@@ -379,6 +379,19 @@ def get_config(create_dirs: bool = True) -> Config:
                 raise AttributeError(f"unknown config key {section}.{k}")
             setattr(target, k, v)
 
+    # MPII openpose topologies carry 15 parts + background
+    # (reference: openpose/define.py MpiiPart; Model/__init__.py dataset
+    # dispatch).
+    if (
+        cfg.data.dataset_type == DATA.MPII
+        and cfg.model.model_type in (
+            MODEL.Openpose, MODEL.LightweightOpenpose,
+            MODEL.MobilenetThinOpenpose,
+        )
+        and "n_pos" not in _overrides["model"]
+    ):
+        cfg.model.n_pos = 16
+
     name = cfg.model.model_name
     base = f"./save_dir/{name}"
     cfg.model.model_dir = cfg.model.model_dir or f"{base}/model_dir"

@@ -177,3 +177,31 @@ class PoseEngine:
                 humans = [hm.unletterboxed(rx, ry) for hm in humans]
             results.append(humans)
         return results
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path_prefix: str) -> dict[str, str]:
+        """Persist weights + the serialized fused executable
+        (reference analog: dnn::tensorrt::save, src/tensorrt.cpp:463-471)."""
+        from ..utils.export import export_npz, export_serialized
+
+        h, w = self.input_hw
+        example = jnp.zeros((self.max_batch_size, h, w, 3), jnp.uint8)
+        variables = jax.device_get(self.variables)
+        npz = export_npz(variables, path_prefix + ".npz")
+        step = self._step
+
+        def fn(images_u8):
+            d = step(variables, images_u8)
+            return d.coords, d.part_scores, d.part_valid, d.scores, d.valid
+
+        exe = export_serialized(fn, (example,), path_prefix + ".stablehlo")
+        return {"weights": npz, "executable": exe}
+
+    @staticmethod
+    def load_executable(path: str):
+        """Load a serialized fused step; returns fn(images_u8) -> tuple
+        (coords, part_scores, part_valid, scores, valid)."""
+        from ..utils.export import load_serialized
+
+        return load_serialized(path)

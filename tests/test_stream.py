@@ -75,3 +75,27 @@ def test_stream_monitor_runs():
     frames = (np.zeros((48, 64, 3), np.uint8) for _ in range(10))
     out = list(sp.process(frames))
     assert len(out) == 10
+
+
+def test_engine_save_load_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from hyperpose_tpu.models.backbones import VggTiny
+    from hyperpose_tpu.models.openpose import LightWeightOpenPose
+    from hyperpose_tpu.runtime.engine import PoseEngine
+
+    model = LightWeightOpenPose(backbone=VggTiny, dtype=jnp.float32)
+    hw = (32, 32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)), train=False
+    )
+    engine = PoseEngine(model, variables, input_hw=hw, max_batch_size=2)
+    paths = engine.save(str(tmp_path / "eng"))
+    fn = PoseEngine.load_executable(paths["executable"])
+    x = np.random.default_rng(0).integers(0, 255, (2, *hw, 3), dtype=np.uint8)
+    out_loaded = fn(jnp.asarray(x))
+    out_live = engine.infer_batch_device(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out_loaded[0]), np.asarray(out_live.coords), atol=1e-5
+    )
