@@ -270,47 +270,40 @@ def _decode_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray,
             0, cfg.growth_steps, step, (ann_score, ann_x, ann_y, ann_sc)
         )
 
-    # ---- seed loop with occupancy -------------------------------------------
+    # ---- seed selection + PARALLEL growth -----------------------------------
+    # The reference grows skeletons sequentially, using an occupancy map so
+    # later seeds inside an already-claimed region are skipped
+    # (processor.py:163-179). Sequential rounds are latency-poison on TPU
+    # (max_humans x growth_steps dependent steps), so instead:
+    #   1. seed NMS: suppress seeds within occupancy radius of a
+    #      higher-scored seed of the same part (the dominant duplicate case);
+    #   2. grow all max_humans survivors IN PARALLEL (one vmapped growth);
+    #   3. the rank-ordered keypoint NMS below deletes any remaining
+    #      duplicate skeletons (their parts zero out; part_num_thresh drops
+    #      them) — same dedup effect, 16x fewer sequential steps.
     mh = cfg.max_humans
-
-    def seed_round(h_idx, state):
-        anns, used_seed = state
-        a_score, a_x, a_y, a_sc = anns
-        # occupancy: seed is blocked if any existing keypoint of the same
-        # part lies within max(min_scale, its scale) Chebyshev distance
-        # (reference: check_occupy/put_occupy, processor.py:222-243).
-        occ_r = jnp.maximum(cfg.min_scale, a_sc)          # [MH, P]
-        sp = seed_part                                     # [S]
-        near = (
-            (a_score[:, sp] > 0)
-            & (jnp.abs(a_x[:, sp] - seed_x[None, :]) <= occ_r[:, sp])
-            & (jnp.abs(a_y[:, sp] - seed_y[None, :]) <= occ_r[:, sp])
-        )                                                  # [MH, S]
-        blocked = jnp.any(near, axis=0) | used_seed
-        avail = seed_valid & ~blocked
-        pick = jnp.argmax(jnp.where(avail, seed_score, _NEG))
-        any_avail = jnp.any(avail)
-        used_seed = used_seed.at[pick].set(True)
-
-        grown = grow_one((
-            seed_part[pick], seed_x[pick], seed_y[pick],
-            seed_scale[pick], seed_score[pick],
-        ))
-        g_score, g_x, g_y, g_sc = grown
-        write = any_avail
-        a_score = jnp.where(write, a_score.at[h_idx].set(g_score), a_score)
-        a_x = jnp.where(write, a_x.at[h_idx].set(g_x), a_x)
-        a_y = jnp.where(write, a_y.at[h_idx].set(g_y), a_y)
-        a_sc = jnp.where(write, a_sc.at[h_idx].set(g_sc), a_sc)
-        return (a_score, a_x, a_y, a_sc), used_seed
-
-    anns0 = (
-        jnp.zeros((mh, p)), jnp.zeros((mh, p)),
-        jnp.zeros((mh, p)), jnp.zeros((mh, p)),
+    occ_seed = jnp.maximum(cfg.min_scale, seed_scale)
+    same_part = seed_part[:, None] == seed_part[None, :]
+    near_seed = (
+        same_part
+        & (jnp.abs(seed_x[:, None] - seed_x[None, :]) <= occ_seed[None, :])
+        & (jnp.abs(seed_y[:, None] - seed_y[None, :]) <= occ_seed[None, :])
+        & (jnp.arange(cfg.max_seeds)[:, None]
+           > jnp.arange(cfg.max_seeds)[None, :])     # suppressed by earlier
+        & seed_valid[None, :]
     )
-    (a_score, a_x, a_y, a_sc), _ = lax.fori_loop(
-        0, mh, seed_round, (anns0, jnp.zeros((cfg.max_seeds,), bool))
-    )
+    seed_keep = seed_valid & ~jnp.any(near_seed, axis=1)
+    pick_scores = jnp.where(seed_keep, seed_score, _NEG)
+    _, picks = lax.top_k(pick_scores, mh)             # [MH]
+    pick_valid = jnp.take(seed_keep, picks)
+
+    g_score, g_x, g_y, g_sc = jax.vmap(grow_one)((
+        jnp.take(seed_part, picks), jnp.take(seed_x, picks),
+        jnp.take(seed_y, picks), jnp.take(seed_scale, picks),
+        jnp.take(seed_score, picks),
+    ))
+    a_score = jnp.where(pick_valid[:, None], g_score, 0.0)
+    a_x, a_y, a_sc = g_x, g_y, g_sc
 
     # ---- keypoint-wise NMS (reference: processor.py:245-259) ----------------
     totals = jnp.sum(a_score, axis=1)                      # [MH]
