@@ -42,7 +42,10 @@ class Evaluator:
         input_hw: tuple[int, int], output_converter: Callable,
         topology: Topology, batch_size: int = 8,
         decoder: PafDecoderConfig = EVAL_DECODER, multiscale: bool = False,
+        fused_decode: Callable | None = None,
     ):
+        """fused_decode(variables, images_u8) -> DecodedSkeletons overrides
+        the default PAF-family path (used for PoseProposal / PifPaf)."""
         self.model = model
         self.variables = variables
         self.dataset = dataset
@@ -52,6 +55,7 @@ class Evaluator:
         self.batch_size = batch_size
         self.decoder = decoder
         self.multiscale = multiscale
+        self._fused_decode = fused_decode
         self._jitted = {}
 
     def _forward_maps(self, images: jax.Array, hw: tuple[int, int]):
@@ -90,6 +94,12 @@ class Evaluator:
     def infer_batch(self, images_u8: np.ndarray) -> SkeletonBatch:
         """Single- or multi-scale inference on a uint8 [B, hin, win, 3] batch
         (reference: eval.py:14-53 multiscale_search averages restored maps)."""
+        if self._fused_decode is not None:
+            out = self._fused_decode(self.variables, jnp.asarray(images_u8))
+            return SkeletonBatch(*(np.asarray(t) for t in (
+                out.coords, out.part_scores, out.part_valid, out.scores,
+                out.valid,
+            )))
         if not self.multiscale:
             conf, paf = self._forward_maps(jnp.asarray(images_u8), self.input_hw)
         else:

@@ -209,6 +209,39 @@ def get_train(config: Config):
     return train
 
 
+def _fused_decode_for(config: Config, model):
+    """variables, images_u8 -> DecodedSkeletons for non-PAF families."""
+    import jax
+
+    import jax.numpy as jnp
+
+    mt = config.model.model_type
+    post = get_postprocessor(config)
+    if mt == MODEL.PoseProposal:
+        @jax.jit
+        def fused(variables, images_u8):
+            x = images_u8.astype(model.dtype) / 255.0
+            out = model.apply(variables, x, train=False)
+            hout, wout = out["c"].shape[1], out["c"].shape[2]
+            rx, ry, rw, rh = model.restore_coor(
+                out["x"], out["y"], out["w"], out["h"], hout, wout
+            )
+            pred = {"c": out["c"], "i": out["i"], "x": rx, "y": ry,
+                    "w": rw, "h": rh, "e": out["e"]}
+            return post(pred)
+
+        return fused
+    if mt == MODEL.Pifpaf:
+        @jax.jit
+        def fused(variables, images_u8):
+            x = images_u8.astype(model.dtype) / 255.0
+            out = model.apply(variables, x, train=False)
+            return post(out)
+
+        return fused
+    return None
+
+
 def get_evaluate(config: Config):
     """(reference: Model/__init__.py:213-250)."""
     from ..eval.evaluate import Evaluator
@@ -222,6 +255,7 @@ def get_evaluate(config: Config):
             output_converter=dataset.output_converter,
             topology=topo, batch_size=config.eval.batch_size,
             multiscale=config.eval.multiscale,
+            fused_decode=_fused_decode_for(config, model),
         )
         return ev.evaluate(limit=limit, eval_dir=config.eval.vis_dir)
 
@@ -240,6 +274,7 @@ def get_test(config: Config):
             input_hw=(config.model.hin, config.model.win),
             output_converter=dataset.output_converter,
             topology=topo, batch_size=config.eval.batch_size,
+            fused_decode=_fused_decode_for(config, model),
         )
         return ev.test(limit=limit, test_dir=config.test.vis_dir)
 

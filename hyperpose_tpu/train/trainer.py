@@ -272,6 +272,7 @@ class Trainer:
         mm = self.metric_manager
         log_every = cfg.log.log_interval
         save_every = cfg.train.save_interval
+        vis_every = cfg.train.vis_interval
 
         it = iter(pipeline)
         with self.mesh:
@@ -305,6 +306,13 @@ class Trainer:
                         "step %d: %s [%s]", step_idx + 1,
                         mm.report_train(), mm.report_timing(log_every),
                     )
+                if (
+                    visualizer is not None
+                    and (step_idx + 1) % vis_every == 0
+                    and jax.process_index() == 0
+                ):
+                    self._visualize(visualizer, batch, params, batch_stats,
+                                    step_idx + 1)
                 if (step_idx + 1) % save_every == 0 and jax.process_index() == 0:
                     self.save(step_idx + 1, params, batch_stats, opt_state)
         self.save(n_step, params, batch_stats, opt_state)
@@ -325,3 +333,36 @@ class Trainer:
             npz_path,
         )
         logger.info("saved checkpoint at step %d -> %s", step, npz_path)
+
+    def _visualize(self, visualizer, batch, params, batch_stats, step):
+        """Periodic prediction/target comparison images
+        (reference: Model/train.py:303-307,567)."""
+        from ..config import MODEL
+
+        if self.config.model.model_type in (MODEL.PoseProposal, MODEL.Pifpaf):
+            return  # map-grid visualization is OpenPose-family specific
+        try:
+            import jax.numpy as jnp
+
+            x = jnp.asarray(batch["images"][:1]).astype(self.model.dtype) / 255.0
+            out = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            n_parts = self.config.model.n_pos - 1
+            targets = openpose_targets(
+                jnp.asarray(batch["kpts"][:1, :, :n_parts]),
+                jnp.asarray(batch["valid"][:1, :, :n_parts]),
+                self.limbs,
+                (self.config.model.hin, self.config.model.win),
+                (self.config.model.hout, self.config.model.wout),
+            )
+            visualizer.visualize_maps(
+                batch["images"][0],
+                np.asarray(out["conf_map"][0], dtype=np.float32),
+                np.asarray(out["paf_map"][0], dtype=np.float32),
+                f"train_step_{step}",
+                gt_conf=np.asarray(targets["conf_map"][0]),
+                gt_paf=np.asarray(targets["paf_map"][0]),
+            )
+        except Exception as exc:  # visualization must never kill training
+            logger.warning("visualization failed at step %d: %s", step, exc)

@@ -144,3 +144,22 @@ def test_trainer_sync_avg_mode(tmp_path, tiny_config):
     params, stats = trainer.train(pipe, n_step=2)
     pipe.stop()
     assert params is not None
+
+
+def test_trainer_visualization(tmp_path, tiny_config):
+    from hyperpose_tpu.train.trainer import Trainer
+    from hyperpose_tpu.utils.topology import COCO_TOPOLOGY
+    from hyperpose_tpu.utils.visualize import Visualizer
+
+    tiny_config.train.vis_interval = 1
+    records = synthetic_records(tmp_path)
+    aug = BasicAugmentor(hin=64, win=64, flip_list=COCO_FLIP_LIST)
+    model = LightWeightOpenPose()
+    trainer = Trainer(tiny_config, model, COCO_LIMBS)
+    vis = Visualizer(COCO_TOPOLOGY, save_dir=str(tmp_path / "vis"))
+    pipe = TrainPipeline(records, aug, batch_size=4, out_hw=(8, 8),
+                         max_people=5, n_workers=1)
+    trainer.train(pipe, n_step=1, visualizer=vis)
+    pipe.stop()
+    import glob
+    assert glob.glob(str(tmp_path / "vis" / "*maps.png"))
