@@ -67,7 +67,9 @@ class PafDecoderConfig:
     crit1_thresh: int = 8      # THRESH_VECTOR_CNT1, paf.cpp:55 (python eval uses 6)
     min_parts: int = 4         # THRESH_PART_CNT
     min_human_score: float = 0.4  # THRESH_HUMAN_SCORE (python eval uses 0.3)
-    label_prop_iters: int = 8  # >= skeleton graph diameter
+    label_prop_iters: int = 18  # >= worst-case component diameter
+                                # (n_parts chain; verified against the
+                                # sequential golden model in tests)
     use_pallas_peaks: bool = False  # fused Pallas peak kernel (TPU only)
 
     def replace(self, **kw) -> "PafDecoderConfig":
