@@ -19,6 +19,14 @@ import sys
 import time
 
 import jax
+
+# Persistent compilation cache: the remote device's compile latency is high
+# and variable; caching makes driver re-runs fast.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
