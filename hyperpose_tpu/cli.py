@@ -63,12 +63,13 @@ def build_engine(args):
     if args.weights and os.path.exists(args.weights):
         variables = load_weights_npz(variables, args.weights)
         print(f"loaded weights: {args.weights}")
+    fused = Model._fused_decode_for(cfg, model)
     engine = PoseEngine(
         model, variables, input_hw=(args.h, args.w),
         max_batch_size=args.max_batch_size, keep_ratio=args.keep_ratio,
+        topology=Model.get_topology(cfg), fused_decode=fused,
     )
-    topo = Model.get_topology(cfg)
-    return engine, topo
+    return engine, Model.get_topology(cfg)
 
 
 def run_operator(args, engine, topo):

@@ -56,7 +56,10 @@ class PoseEngine:
         decoder: PafDecoderConfig | None = None,
         topology: Topology = COCO_TOPOLOGY,
         keep_ratio: bool = False,
+        fused_decode=None,
     ):
+        """fused_decode(variables, x_normalized) -> DecodedSkeletons
+        overrides the default PAF-family path (PoseProposal / PifPaf)."""
         self.model = model
         self.variables = jax.device_put(variables)
         self.input_hw = tuple(input_hw)
@@ -64,6 +67,7 @@ class PoseEngine:
         self.decoder = decoder or PafDecoderConfig()
         self.topology = topology
         self.keep_ratio = keep_ratio
+        self.fused_decode = fused_decode
         self.stats = EngineStats()
         self._feat_hw: tuple[int, int] | None = None
 
@@ -72,6 +76,14 @@ class PoseEngine:
     @functools.cached_property
     def _step(self):
         model, dec, topo = self.model, self.decoder, self.topology
+        if self.fused_decode is not None:
+            fused = self.fused_decode
+
+            @jax.jit
+            def custom(variables, images_u8):
+                return fused(variables, images_u8)
+
+            return custom
 
         @jax.jit
         def step(variables, images_u8):
@@ -106,8 +118,8 @@ class PoseEngine:
 
     def unpack_skeletons(self, packed: np.ndarray) -> SkeletonBatch:
         b = packed.shape[0]
-        mh = self.decoder.max_humans
-        p = self.decoder.n_parts
+        mh = self._out_mh or self.decoder.max_humans
+        p = self._out_p or self.decoder.n_parts
         sizes = [mh * p * 2, mh * p, mh * p, mh, mh]
         offs = np.cumsum([0] + sizes)
         return SkeletonBatch(
@@ -124,9 +136,15 @@ class PoseEngine:
         t0 = time.perf_counter()
         h, w = self.input_hw
         dummy = jnp.zeros((self.max_batch_size, h, w, 3), jnp.uint8)
-        jax.block_until_ready(self._step(self.variables, dummy).coords)
+        out = self._step(self.variables, dummy)
+        jax.block_until_ready(out.coords)
+        self._out_mh = int(out.coords.shape[1])
+        self._out_p = int(out.coords.shape[2])
         np.asarray(self._step_packed(self.variables, dummy))
         return time.perf_counter() - t0
+
+    _out_mh: int = 0
+    _out_p: int = 0
 
     def infer_batch_device(self, images_u8) -> Any:
         """Raw device decode of an already-batched uint8 [B,H,W,3] array."""
