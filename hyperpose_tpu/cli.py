@@ -13,7 +13,6 @@ import argparse
 import glob
 import logging
 import os
-import sys
 import time
 
 

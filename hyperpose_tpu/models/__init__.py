@@ -12,7 +12,6 @@ processors (reference: hyperpose/Model/__init__.py:24-393).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

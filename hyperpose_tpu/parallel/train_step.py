@@ -8,8 +8,7 @@ the sync-SGD semantics of KUNGFU.Sync_sgd without an external comm library.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

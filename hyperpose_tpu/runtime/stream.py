@@ -19,7 +19,7 @@ import dataclasses
 import logging
 import threading
 import time
-from typing import Callable, Iterator, Sequence
+from typing import Iterator
 
 import numpy as np
 

@@ -99,3 +99,30 @@ def test_engine_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out_loaded[0]), np.asarray(out_live.coords), atol=1e-5
     )
+
+
+def test_native_batcher_copy():
+    """Native uint8 batcher: exact copy + nearest resize."""
+    import ctypes
+
+    from hyperpose_tpu.runtime.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    src = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    dst = np.zeros((2, 4, 6, 3), np.uint8)
+    lib.hp_copy_into_batch(
+        src.ctypes.data_as(ctypes.c_char_p), 4, 6,
+        dst.ctypes.data_as(ctypes.c_char_p), 1, 4, 6,
+    )
+    np.testing.assert_array_equal(dst[1], src)
+    assert dst[0].sum() == 0
+    # nearest resize 4x6 -> 2x3
+    small = np.zeros((1, 2, 3, 3), np.uint8)
+    lib.hp_copy_into_batch(
+        src.ctypes.data_as(ctypes.c_char_p), 4, 6,
+        small.ctypes.data_as(ctypes.c_char_p), 0, 2, 3,
+    )
+    np.testing.assert_array_equal(small[0, 0, 0], src[0, 0])
+    np.testing.assert_array_equal(small[0, 1, 2], src[2, 4])
