@@ -19,6 +19,9 @@ _SRC = os.path.join(_HERE, "hp_runtime.cpp")
 _lib = None
 _build_lock = threading.Lock()
 
+# C task callback signature for the native worker pool.
+TASK_FN = ctypes.CFUNCTYPE(None, ctypes.c_void_p)
+
 
 def _build() -> str | None:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
@@ -64,6 +67,11 @@ def get_lib():
         lib.hp_copy_into_batch.argtypes = [
             ctypes.c_char_p, i64, i64, ctypes.c_char_p, i64, i64, i64,
         ]
+        lib.hp_pool_new.restype = p
+        lib.hp_pool_new.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.hp_pool_free.argtypes = [p]
+        lib.hp_pool_enqueue.argtypes = [p, TASK_FN, p]
+        lib.hp_pool_wait.argtypes = [p]
         _lib = lib
         return _lib
 
@@ -128,5 +136,52 @@ class NativeQueue:
     def __del__(self):
         try:
             self._lib.hp_queue_free(self._q)
+        except Exception:
+            pass
+
+
+class NativePool:
+    """Affinity-pinned C++ worker pool driving Python callables via a
+    ctypes trampoline (reference: src/thread_pool.cpp:39-68)."""
+
+    def __init__(self, n_threads: int, pin_affinity: bool = True):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._pool = lib.hp_pool_new(n_threads, 1 if pin_affinity else 0)
+        self._tasks: dict[int, object] = {}
+        self._next = 1
+        self._lock = threading.Lock()
+
+        def trampoline(ctx):
+            with self._lock:
+                fn = self._tasks.pop(int(ctx), None)
+            if fn is not None:
+                try:
+                    fn()
+                except Exception:
+                    pass
+
+        self._trampoline = TASK_FN(trampoline)  # keep alive
+
+    def enqueue(self, fn) -> None:
+        with self._lock:
+            token = self._next
+            self._next += 1
+            self._tasks[token] = fn
+        self._lib.hp_pool_enqueue(self._pool, self._trampoline, token)
+
+    def wait(self) -> None:
+        self._lib.hp_pool_wait(self._pool)
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._lib.hp_pool_free(self._pool)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
         except Exception:
             pass

@@ -126,3 +126,21 @@ def test_native_batcher_copy():
     )
     np.testing.assert_array_equal(small[0, 0, 0], src[0, 0])
     np.testing.assert_array_equal(small[0, 1, 2], src[2, 4])
+
+
+def test_native_pool_runs_tasks():
+    from hyperpose_tpu.runtime.native import NativePool, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    pool = NativePool(2)
+    results = []
+    lock = threading.Lock()
+    for i in range(32):
+        def task(i=i):
+            with lock:
+                results.append(i)
+        pool.enqueue(task)
+    pool.wait()
+    assert sorted(results) == list(range(32))
+    pool.close()
