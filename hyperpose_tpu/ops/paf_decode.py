@@ -101,7 +101,7 @@ def find_peaks(
     Returns (peak_xy [B,P,K,2] float32, peak_score [B,P,K], peak_valid [B,P,K]).
     """
     b, h, w, p = conf.shape
-    k = cfg.max_peaks
+    k = min(cfg.max_peaks, h * w)
     if cfg.use_pallas_peaks:
         from .pallas.peak_kernel import fused_peak_candidates
 
@@ -248,7 +248,7 @@ def _greedy_connections(
     Returns (src [L,T], dst [L,T], score [L,T], accepted [L,T] bool).
     """
     l, k, _ = cand_score.shape
-    t = cfg.max_candidates
+    t = min(cfg.max_candidates, k * k)
     flat = cand_score.reshape(l, k * k)
     top_vals, top_idx = lax.top_k(flat, t)   # sorted desc per limb
     src = (top_idx // k).astype(jnp.int32)

@@ -129,7 +129,7 @@ def _decode_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray,
 
     # ---- per-part hr contributors & pif candidates -------------------------
     conf_pn = pif_conf.reshape(n, p).T                   # [P, N]
-    cvals, cidx = lax.top_k(conf_pn, cfg.max_hr_contrib)  # [P, C]
+    cvals, cidx = lax.top_k(conf_pn, min(cfg.max_hr_contrib, n))  # [P, C]
 
     def gpart(m, idx):
         return jnp.take_along_axis(m.reshape(n, p).T, idx, axis=1)
@@ -150,9 +150,8 @@ def _decode_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray,
 
     # ---- seeds --------------------------------------------------------------
     seed_conf = jnp.where(conf_pn > cfg.thresh_pif, conf_pn, _NEG)
-    svals, sidx = lax.top_k(
-        seed_conf.reshape(-1), cfg.max_seeds
-    )                                                     # over [P*N]
+    n_seeds = min(cfg.max_seeds, p * n)
+    svals, sidx = lax.top_k(seed_conf.reshape(-1), n_seeds)  # over [P*N]
     seed_part = (sidx // n).astype(jnp.int32)
     cell = sidx % n
     take = lambda m: m.reshape(n, p).T.reshape(-1)[seed_part * n + cell]
@@ -172,7 +171,7 @@ def _decode_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray,
 
     # ---- paf candidates -> directed edge tables -----------------------------
     paf_conf = maps["paf_conf"]                           # [H, W, L]
-    kc = cfg.max_paf_cands
+    kc = min(cfg.max_paf_cands, n)
     pvals, pidx = lax.top_k(paf_conf.reshape(n, l).T, kc)  # [L, Kc]
 
     def glimb(m):
@@ -288,8 +287,8 @@ def _decode_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray,
         same_part
         & (jnp.abs(seed_x[:, None] - seed_x[None, :]) <= occ_seed[None, :])
         & (jnp.abs(seed_y[:, None] - seed_y[None, :]) <= occ_seed[None, :])
-        & (jnp.arange(cfg.max_seeds)[:, None]
-           > jnp.arange(cfg.max_seeds)[None, :])     # suppressed by earlier
+        & (jnp.arange(n_seeds)[:, None]
+           > jnp.arange(n_seeds)[None, :])           # suppressed by earlier
         & seed_valid[None, :]
     )
     seed_keep = seed_valid & ~jnp.any(near_seed, axis=1)

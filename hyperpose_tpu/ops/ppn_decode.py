@@ -82,7 +82,7 @@ def _decode_one(predict: dict, cfg: PpnDecoderConfig, limbs: np.ndarray,
     pw, ph, pe = predict["w"], predict["h"], predict["e"]
     hout, wout, p = pc.shape
     n = hout * wout
-    k = cfg.max_boxes
+    k = min(cfg.max_boxes, n)
     l = limbs.shape[0]
 
     # Top-K cells per part by score.

@@ -96,3 +96,37 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(loaded(x)), np.asarray(fn(x)))
     stats = measure_flops(fn, x)
     assert "flops" in stats
+
+
+def test_engine_with_pifpaf_family():
+    """PoseEngine dispatches through the per-family fused decoder."""
+    import numpy as np
+
+    from hyperpose_tpu.models import _fused_decode_for
+    from hyperpose_tpu.runtime.engine import PoseEngine
+
+    Config.set_model_type(Config.MODEL.Pifpaf)
+    Config.set_model_inout(hin=64, win=64, hout=8, wout=8)
+    Config.set_compute_dtype("float32")
+    cfg = Config.get_config(create_dirs=False)
+    model = Model.get_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    fused = _fused_decode_for(cfg, model)
+    engine = PoseEngine(
+        model, variables, input_hw=(64, 64), max_batch_size=2,
+        topology=Model.get_topology(cfg), fused_decode=fused,
+    )
+    engine.warmup()
+    imgs = [np.zeros((96, 128, 3), np.uint8)] * 2
+    results = engine.inference(imgs)
+    assert len(results) == 2  # random weights: likely no humans, but flows
+    # packed path agrees with direct path
+    x = np.zeros((2, 64, 64, 3), np.uint8)
+    packed = np.asarray(engine._step_packed(engine.variables, jnp.asarray(x)))
+    sk = engine.unpack_skeletons(packed)
+    direct = engine.infer_batch_device(jnp.asarray(x))
+    np.testing.assert_allclose(
+        sk.coords, np.asarray(direct.coords), atol=1e-6
+    )
