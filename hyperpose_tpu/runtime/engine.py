@@ -117,6 +117,11 @@ class PoseEngine:
         return packed
 
     def unpack_skeletons(self, packed: np.ndarray) -> SkeletonBatch:
+        if self.fused_decode is not None and not self._out_mh:
+            raise RuntimeError(
+                "call warmup() before the packed path on a custom-decoder "
+                "engine (output dims are inferred from the compiled step)"
+            )
         b = packed.shape[0]
         mh = self._out_mh or self.decoder.max_humans
         p = self._out_p or self.decoder.n_parts
