@@ -197,3 +197,71 @@ def test_pifpaf_targets_roundtrip():
     out = pifpaf_decode_batch(predict, PifPafDecoderConfig(), 8, in_hw)
     n = int(np.asarray(out.valid[0]).sum())
     assert n == 2, f"expected 2 humans from target roundtrip, got {n}"
+
+
+def numpy_find_connection(mx, my, mscore, mvalid, ox, oy, oscale, x, y,
+                          scale):
+    """Direct transcription of find_connection (reference:
+    processor.py:262-310) for cross-checking the vectorized version."""
+    sigma_f = 2.0 * scale
+    sigma_g = 0.25 * scale**2
+    first_i, first_s, second_i, second_s = -1, 0.0, -1, 0.0
+    for i in range(len(mx)):
+        if not mvalid[i]:
+            continue
+        if x < mx[i] - sigma_f or x > mx[i] + sigma_f:
+            continue
+        if y < my[i] - sigma_f or y > my[i] + sigma_f:
+            continue
+        d = (mx[i] - x) ** 2 + (my[i] - y) ** 2
+        w = np.exp(-0.5 * d / sigma_g) * mscore[i]
+        if w > first_s:
+            second_i, second_s = first_i, first_s
+            first_i, first_s = i, w
+        elif w > second_s:
+            second_i, second_s = i, w
+    if first_i == -1 or first_s == 0.0:
+        return 0.0, 0.0, 0.0, 0.0
+    if second_i == -1 or second_s < 0.01 or second_s < 0.5 * first_s:
+        return 0.5 * first_s, ox[first_i], oy[first_i], oscale[first_i]
+    d12 = (ox[first_i] - ox[second_i]) ** 2 + (oy[first_i] - oy[second_i]) ** 2
+    if d12 > oscale[first_i] ** 2 / 4.0:
+        return 0.5 * first_s, ox[first_i], oy[first_i], oscale[first_i]
+    tot = first_s + second_s
+    return (
+        0.5 * tot,
+        (ox[first_i] * first_s + ox[second_i] * second_s) / tot,
+        (oy[first_i] * first_s + oy[second_i] * second_s) / tot,
+        (oscale[first_i] * first_s + oscale[second_i] * second_s) / tot,
+    )
+
+
+def test_find_connection_matches_reference_semantics():
+    from hyperpose_tpu.ops.pifpaf_decode import _find_connection
+
+    rng = np.random.default_rng(0)
+    mismatches = 0
+    for trial in range(50):
+        k = 24
+        mx = rng.uniform(0, 100, k).astype(np.float32)
+        my = rng.uniform(0, 100, k).astype(np.float32)
+        mscore = rng.uniform(0, 1, k).astype(np.float32)
+        mvalid = rng.random(k) > 0.3
+        ox = rng.uniform(0, 100, k).astype(np.float32)
+        oy = rng.uniform(0, 100, k).astype(np.float32)
+        osc = rng.uniform(1, 10, k).astype(np.float32)
+        x, y = rng.uniform(20, 80, 2)
+        scale = rng.uniform(2, 12)
+
+        want = numpy_find_connection(mx, my, mscore, mvalid, ox, oy, osc,
+                                     x, y, scale)
+        got = _find_connection(
+            jnp.asarray(mx), jnp.asarray(my), jnp.asarray(mscore),
+            jnp.asarray(mvalid), jnp.asarray(ox), jnp.asarray(oy),
+            jnp.asarray(osc), jnp.float32(x), jnp.float32(y),
+            jnp.float32(scale),
+        )
+        got = tuple(float(v) for v in got)
+        if not np.allclose(got, want, atol=1e-4):
+            mismatches += 1
+    assert mismatches == 0, f"{mismatches}/50 trials diverged"
