@@ -120,6 +120,9 @@ class TrainConfig:
     # TPU-specific: devices per data-parallel axis; 0 = all available.
     n_devices: int = 0
     spatial_parallel: int = 1
+    # Weight of the adversarial domain-adaptation generator loss
+    # (reference: Model/train.py:230-262 dmadapt g-loss term).
+    lambda_adapt: float = 1.0
 
 
 @dataclasses.dataclass

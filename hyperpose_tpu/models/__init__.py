@@ -203,7 +203,15 @@ def get_train(config: Config):
             n_parts=config.model.n_pos,
         )
         trainer = Trainer(config, model, topo.limbs)
-        return trainer.train(pipeline)
+        unlabeled = None
+        if config.data.domainadapt_flag:
+            from ..train.domainadapt import UnlabeledPipeline
+
+            unlabeled = UnlabeledPipeline(
+                config.data.domainadapt_train_img_paths, augmentor,
+                batch_size=config.train.batch_size,
+            )
+        return trainer.train(pipeline, unlabeled_pipeline=unlabeled)
 
     return train
 

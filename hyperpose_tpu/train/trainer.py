@@ -95,6 +95,14 @@ class Trainer:
         self.metric_manager = MetricManager()
         self.ckpt = CheckpointManager(config.model.model_dir)
         self._step_fn = None
+        # Adversarial domain adaptation (reference: Model/train.py:230-262
+        # optimize_step_dmadapt + domainadapt.py Discriminator).
+        self.domainadapt = bool(config.data.domainadapt_flag)
+        if self.domainadapt:
+            from .domainadapt import Discriminator
+
+            self.discriminator = Discriminator()
+            self.d_optimizer = optax.adam(staged_lr_schedule(config))
 
     # -- jitted step ---------------------------------------------------------
 
@@ -148,6 +156,11 @@ class Trainer:
 
         self._step_takes_index = False
 
+        if self.domainadapt:
+            return self._build_dmadapt_step(
+                targets_loss, model, wd, optimizer, rep, bsh, bsh_row
+            )
+
         def step(params, batch_stats, opt_state, images, kpts, valid, mask,
                  bbxs):
             def loss_wrapped(p):
@@ -176,6 +189,85 @@ class Trainer:
             in_shardings=(rep, rep, rep, bsh, bsh_row, bsh_row, bsh, bsh_row),
             out_shardings=(rep, rep, rep, rep),
             donate_argnums=(0, 1, 2),
+        )
+
+    def _build_dmadapt_step(self, targets_loss, model, wd, optimizer, rep,
+                            bsh, bsh_row):
+        """One fused step: pose loss + adversarial generator loss on the
+        backbone, then a discriminator update on stop-gradient features
+        (reference: Model/train.py:230-262,475-507 optimize_step_dmadapt —
+        combined generator gradients applied by the single pose optimizer,
+        discriminator trained by its own optimizer)."""
+        from .domainadapt import bce_logits, discriminator_losses
+
+        disc = self.discriminator
+        d_optimizer = self.d_optimizer
+        lambda_adapt = self.config.train.lambda_adapt
+
+        def backbone_feats(p, batch_stats, x):
+            out = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x,
+                train=False, ret_backbone=True,
+            )
+            return out["backbone_features"].astype(jnp.float32)
+
+        def step(params, batch_stats, opt_state, d_params, d_opt_state,
+                 images, kpts, valid, mask, bbxs, unlabeled):
+            x_l = images.astype(model.dtype) / 255.0
+            x_u = unlabeled.astype(model.dtype) / 255.0
+
+            def loss_wrapped(p):
+                variables = {"params": p, "batch_stats": batch_stats}
+                predict, updates = model.apply(
+                    variables, x_l, train=True, mutable=["batch_stats"]
+                )
+                pd_loss, parts = targets_loss(predict, kpts, valid, mask,
+                                              bbxs)
+                re_loss = l2_regularization(p, wd)
+                # Generator objective: unlabeled features should fool the
+                # (frozen-in-this-term) discriminator.
+                u_feats = backbone_feats(p, batch_stats, x_u)
+                u_logits = disc.apply({"params": d_params}, u_feats)
+                g_loss = bce_logits(u_logits, jnp.ones_like(u_logits))
+                total = pd_loss + re_loss + lambda_adapt * g_loss
+                parts = dict(parts, loss_re=re_loss, pd_loss=pd_loss,
+                             g_loss=g_loss)
+                return total, (parts, updates["batch_stats"])
+
+            (loss, (parts, new_stats)), grads = jax.value_and_grad(
+                loss_wrapped, has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            # Discriminator update on detached features of both streams.
+            l_feats = jax.lax.stop_gradient(
+                backbone_feats(params, new_stats, x_l)
+            )
+            u_feats = jax.lax.stop_gradient(
+                backbone_feats(params, new_stats, x_u)
+            )
+
+            def d_loss_fn(dp):
+                ll = disc.apply({"params": dp}, l_feats)
+                ul = disc.apply({"params": dp}, u_feats)
+                _, d_loss = discriminator_losses(ll, ul)
+                return d_loss
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+            d_updates, d_opt_state = d_optimizer.update(
+                d_grads, d_opt_state, d_params
+            )
+            d_params = optax.apply_updates(d_params, d_updates)
+            metrics = dict(parts, total_loss=loss, d_loss=d_loss)
+            return params, new_stats, opt_state, d_params, d_opt_state, metrics
+
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, rep, rep, rep, bsh, bsh_row, bsh_row,
+                          bsh, bsh_row, bsh),
+            out_shardings=(rep,) * 6,
+            donate_argnums=(0, 1, 2, 3, 4),
         )
 
     @staticmethod
@@ -239,23 +331,54 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         return params, batch_stats, opt_state
 
+    def init_dmadapt_state(self, params, batch_stats):
+        """Discriminator params/opt-state sized to the backbone features."""
+        cfg = self.config
+        dummy = jnp.zeros(
+            (1, cfg.model.hin, cfg.model.win, 3), self.model.dtype
+        )
+        feats = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, dummy,
+            train=False, ret_backbone=True,
+        )["backbone_features"].astype(jnp.float32)
+        d_vars = self.discriminator.init(jax.random.PRNGKey(1), feats)
+        d_params = d_vars["params"]
+        return d_params, self.d_optimizer.init(d_params)
+
     def train(self, pipeline: TrainPipeline, n_step: int | None = None,
-              visualizer=None):
+              visualizer=None, unlabeled_pipeline=None):
         cfg = self.config
         n_step = n_step or cfg.train.n_step
         params, batch_stats, opt_state = self.init_state()
+
+        d_params = d_opt_state = None
+        if self.domainadapt:
+            if unlabeled_pipeline is None:
+                raise ValueError(
+                    "domainadapt_flag is set but no unlabeled_pipeline was "
+                    "given (see train.domainadapt.UnlabeledPipeline)"
+                )
+            d_params, d_opt_state = self.init_dmadapt_state(
+                params, batch_stats
+            )
 
         start_step = 0
         state_like = {
             "params": params, "batch_stats": batch_stats,
             "opt_state": opt_state,
         }
+        if self.domainadapt:
+            state_like["d_params"] = d_params
+            state_like["d_opt_state"] = d_opt_state
         restored_step, restored = self.ckpt.restore(state_like)
         if restored is not None:
             start_step = restored_step
             params = restored["params"]
             batch_stats = restored["batch_stats"]
             opt_state = restored["opt_state"]
+            if self.domainadapt and "d_params" in restored:
+                d_params = restored["d_params"]
+                d_opt_state = restored["d_opt_state"]
             logger.info("resumed from step %d", start_step)
 
         step_fn = self._step_fn or self._build_step()
@@ -267,6 +390,12 @@ class Trainer:
         params = jax.device_put(params, rep)
         batch_stats = jax.device_put(batch_stats, rep)
         opt_state = jax.device_put(opt_state, rep)
+        if self.domainadapt:
+            d_params = jax.device_put(d_params, rep)
+            d_opt_state = jax.device_put(d_opt_state, rep)
+            unlabeled_iter = iter(unlabeled_pipeline) if hasattr(
+                unlabeled_pipeline, "__iter__"
+            ) else unlabeled_pipeline
 
         mm = self.metric_manager
         log_every = cfg.log.log_interval
@@ -286,7 +415,22 @@ class Trainer:
                 valid = jax.device_put(batch["valid"], bsh_row)
                 mask = jax.device_put(batch["mask"], bsh)
                 bbxs = jax.device_put(batch["bbxs"], bsh_row)
-                if getattr(self, "_step_takes_index", False):
+                if self.domainadapt:
+                    unlabeled = jax.device_put(
+                        np.asarray(
+                            next(unlabeled_iter) if hasattr(
+                                unlabeled_iter, "__next__"
+                            ) else unlabeled_iter.next()
+                        ),
+                        bsh,
+                    )
+                    (params, batch_stats, opt_state, d_params, d_opt_state,
+                     metrics) = step_fn(
+                        params, batch_stats, opt_state, d_params,
+                        d_opt_state, images, kpts, valid, mask, bbxs,
+                        unlabeled,
+                    )
+                elif getattr(self, "_step_takes_index", False):
                     params, batch_stats, opt_state, metrics = step_fn(
                         params, batch_stats, opt_state, images, kpts, valid,
                         mask, bbxs, jnp.int32(step_idx),
@@ -313,16 +457,24 @@ class Trainer:
                     self._visualize(visualizer, batch, params, batch_stats,
                                     step_idx + 1)
                 if (step_idx + 1) % save_every == 0 and jax.process_index() == 0:
-                    self.save(step_idx + 1, params, batch_stats, opt_state)
-        self.save(n_step, params, batch_stats, opt_state)
+                    self.save(step_idx + 1, params, batch_stats, opt_state,
+                              d_params, d_opt_state)
+        self.save(n_step, params, batch_stats, opt_state, d_params,
+                  d_opt_state)
         return params, batch_stats
 
-    def save(self, step: int, params, batch_stats, opt_state):
+    def save(self, step: int, params, batch_stats, opt_state,
+             d_params=None, d_opt_state=None):
         state = {
             "params": jax.device_get(params),
             "batch_stats": jax.device_get(batch_stats),
             "opt_state": jax.device_get(opt_state),
         }
+        if d_params is not None:
+            # Discriminator checkpointed alongside the pose model
+            # (reference: Model/train.py:202-207,322-325).
+            state["d_params"] = jax.device_get(d_params)
+            state["d_opt_state"] = jax.device_get(d_opt_state)
         self.ckpt.save(step, state)
         npz_path = os.path.join(
             self.config.model.model_dir, "newest_model.npz"
