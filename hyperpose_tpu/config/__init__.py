@@ -96,6 +96,10 @@ class ModelConfig:
     # Custom component hooks (reference: Config/__init__.py:512-535)
     custom_parts: Any = None
     custom_limbs: Any = None
+    custom_augmentor: Any = None
+    custom_preprocessor: Any = None
+    custom_postprocessor: Any = None
+    custom_visualizer: Any = None
     # Compute dtype for the conv path ("bfloat16" on TPU, "float32" debug).
     compute_dtype: str = "bfloat16"
 
@@ -346,6 +350,28 @@ def set_custom_parts(parts) -> None:
 
 def set_custom_limbs(limbs) -> None:
     _set("model", "custom_limbs", limbs)
+
+
+def set_custom_augmentor(augmentor) -> None:
+    """(reference: Config/__init__.py:522-524)."""
+    _set("model", "custom_augmentor", augmentor)
+
+
+def set_custom_preprocessor(preprocessor) -> None:
+    """Replaces the on-device target generator; called as
+    preprocessor(kpts, valid, ...) inside the jitted step
+    (reference: Config/__init__.py:526-528)."""
+    _set("model", "custom_preprocessor", preprocessor)
+
+
+def set_custom_postprocessor(postprocessor) -> None:
+    """Replaces the batched decoder (reference: Config/__init__.py:530-532)."""
+    _set("model", "custom_postprocessor", postprocessor)
+
+
+def set_custom_visualizer(visualizer) -> None:
+    """(reference: Config/__init__.py:534-536)."""
+    _set("model", "custom_visualizer", visualizer)
 
 
 def set_log_interval(interval: int) -> None:

@@ -42,7 +42,14 @@ _DEFAULT_BACKBONES = {
 def get_topology(config: Config) -> Topology:
     mt = config.model.model_type
     if config.model.custom_parts is not None:
-        return config.model.custom_parts
+        topo = config.model.custom_parts
+        if config.model.custom_limbs is not None:
+            import dataclasses
+
+            topo = dataclasses.replace(
+                topo, limbs=np.asarray(config.model.custom_limbs, np.int32)
+            )
+        return topo
     if mt == MODEL.PoseProposal:
         return PPN_TOPOLOGY
     if mt == MODEL.Pifpaf:
@@ -117,6 +124,8 @@ def get_augmentor(config: Config):
     """(reference: Model/__init__.py:292-310 get_augmentor)."""
     from ..data.augment import BasicAugmentor
 
+    if config.model.custom_augmentor is not None:
+        return config.model.custom_augmentor
     topo = get_topology(config)
     return BasicAugmentor(
         hin=config.model.hin, win=config.model.win,
@@ -129,6 +138,8 @@ def get_preprocessor(config: Config):
     (reference: Model/__init__.py:312-333 get_preprocessor)."""
     from ..data import targets as T
 
+    if config.model.custom_preprocessor is not None:
+        return config.model.custom_preprocessor
     topo = get_topology(config)
     m = config.model
     mt = m.model_type
@@ -155,6 +166,8 @@ def get_postprocessor(config: Config):
     from ..ops.pifpaf_decode import PifPafDecoderConfig, pifpaf_decode_batch
     from ..ops.ppn_decode import PpnDecoderConfig, ppn_decode_batch
 
+    if config.model.custom_postprocessor is not None:
+        return config.model.custom_postprocessor
     topo = get_topology(config)
     m = config.model
     mt = m.model_type
@@ -178,6 +191,8 @@ def get_postprocessor(config: Config):
 def get_visualizer(config: Config):
     from ..utils.visualize import Visualizer
 
+    if config.model.custom_visualizer is not None:
+        return config.model.custom_visualizer
     return Visualizer(
         topology=get_topology(config), save_dir=config.train.vis_dir
     )

@@ -130,3 +130,40 @@ def test_engine_with_pifpaf_family():
     np.testing.assert_allclose(
         sk.coords, np.asarray(direct.coords), atol=1e-6
     )
+
+
+def test_custom_component_hooks():
+    """set_custom_* overrides flow through the facade getters
+    (reference: Config/__init__.py:512-535, Model/__init__.py:107-114)."""
+    import dataclasses
+
+    from hyperpose_tpu.models import (
+        get_augmentor, get_postprocessor, get_preprocessor, get_topology,
+        get_visualizer,
+    )
+    from hyperpose_tpu.utils.topology import COCO_TOPOLOGY
+
+    Config.reset()
+    Config.set_model_type(Config.MODEL.LightweightOpenpose)
+    custom_topo = dataclasses.replace(COCO_TOPOLOGY, name="custom")
+    custom_limbs = np.array([[0, 1], [1, 2]], np.int32)
+    sentinel_aug = object()
+    sentinel_pre = object()
+    sentinel_post = object()
+    sentinel_vis = object()
+    Config.set_custom_parts(custom_topo)
+    Config.set_custom_limbs(custom_limbs)
+    Config.set_custom_augmentor(sentinel_aug)
+    Config.set_custom_preprocessor(sentinel_pre)
+    Config.set_custom_postprocessor(sentinel_post)
+    Config.set_custom_visualizer(sentinel_vis)
+    cfg = Config.get_config(create_dirs=False)
+
+    topo = get_topology(cfg)
+    assert topo.name == "custom"
+    assert topo.n_limbs == 2
+    assert get_augmentor(cfg) is sentinel_aug
+    assert get_preprocessor(cfg) is sentinel_pre
+    assert get_postprocessor(cfg) is sentinel_post
+    assert get_visualizer(cfg) is sentinel_vis
+    Config.reset()
