@@ -114,3 +114,89 @@ def test_decode_empty():
     out = ppn_decode_batch(predict, PpnDecoderConfig(), 9, 9, (384, 384),
                            PPN_TOPOLOGY)
     assert np.asarray(out.valid).sum() == 0
+
+
+def sparse_random_predict(seed, hout=12, wout=12, n_pos=18, n_limbs=17,
+                          hnei=9, wnei=9, n_seeds=6):
+    """Sparse random PPN maps: a few positive cells per part, random edge
+    activations around them (keeps active cells << top-K so the fixed-K
+    device decoder and the unbounded golden model see the same proposals)."""
+    rng = np.random.default_rng(seed)
+    pc = np.zeros((hout, wout, n_pos), np.float32)
+    px = np.zeros_like(pc)
+    py = np.zeros_like(pc)
+    pw = np.zeros_like(pc)
+    ph = np.zeros_like(pc)
+    pe = np.zeros((n_limbs, hnei, wnei, hout, wout), np.float32)
+    for p in range(n_pos):
+        for _ in range(rng.integers(1, n_seeds)):
+            cy, cx = rng.integers(0, hout), rng.integers(0, wout)
+            pc[cy, cx, p] = rng.uniform(0.25, 1.0)
+            px[cy, cx, p] = (cx + rng.uniform()) * 32
+            py[cy, cx, p] = (cy + rng.uniform()) * 32
+            pw[cy, cx, p] = rng.uniform(20, 60)
+            ph[cy, cx, p] = rng.uniform(20, 60)
+    for li in range(n_limbs):
+        for _ in range(rng.integers(2, 8)):
+            sy, sx = rng.integers(0, hout), rng.integers(0, wout)
+            dy, dx = rng.integers(0, hnei), rng.integers(0, wnei)
+            pe[li, dy, dx, sy, sx] = rng.uniform(0.25, 1.0)
+    return {"c": pc, "x": px, "y": py, "w": pw, "h": ph, "e": pe}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_device_decoder_matches_ppn_golden(seed):
+    """Vectorized fixed-shape decoder == sequential reference transcription
+    (reference: pose_proposal/processor.py:65-204)."""
+    from golden_ppn import golden_decode
+
+    pred = sparse_random_predict(seed)
+    in_hw = (384, 384)
+    limbs = np.asarray(PPN_LIMBS)
+    golden = golden_decode(
+        pred["c"], pred["x"], pred["y"], pred["w"], pred["h"], pred["e"],
+        limbs,
+    )
+
+    batched = {k: v[None] for k, v in pred.items()}
+    batched["i"] = batched["c"]
+    out = ppn_decode_batch(
+        batched, PpnDecoderConfig(), 9, 9, in_hw, PPN_TOPOLOGY
+    )
+    valid = np.asarray(out.valid[0])
+    coords = np.asarray(out.coords[0])
+    pvalid = np.asarray(out.part_valid[0])
+    pscore = np.asarray(out.part_scores[0])
+
+    device_humans = []
+    for h in np.nonzero(valid)[0]:
+        parts = {}
+        for p in np.nonzero(pvalid[h])[0]:
+            parts[int(p)] = (
+                float(coords[h, p, 0] * in_hw[1]),
+                float(coords[h, p, 1] * in_hw[0]),
+                float(pscore[h, p]),
+            )
+        device_humans.append(parts)
+
+    assert len(device_humans) == len(golden), (
+        f"human count {len(device_humans)} != golden {len(golden)}"
+    )
+
+    def key(h):
+        return sorted(h.keys())
+
+    for gh in golden:
+        best = min(
+            device_humans,
+            key=lambda dh: sum(
+                abs(dh.get(p, (1e9, 1e9, 0))[0] - gh[p][0]) for p in gh
+            ),
+        )
+        assert key(best) == key(gh), (
+            f"part sets differ: {key(best)} vs {key(gh)}"
+        )
+        for p, (gx, gy, gs) in gh.items():
+            dx_, dy_, ds_ = best[p]
+            assert abs(dx_ - gx) < 1e-3 and abs(dy_ - gy) < 1e-3
+            assert abs(ds_ - gs) < 1e-4
