@@ -44,7 +44,10 @@ class PifPafDecoderConfig:
     max_seeds: int = 64
     max_paf_cands: int = 64    # Kc per limb
     max_humans: int = 16
-    growth_steps: int = 16     # >= n_pos - 1
+    # Rounds of parallel frontier growth; must cover the seed's graph
+    # eccentricity (8 for the COCO 19-bone skeleton), NOT the part count —
+    # each round commits every reachable unassigned part at once.
+    growth_steps: int = 8
     thresh_pif: float = 0.3        # reference: processor.py:47-48
     thresh_paf: float = 0.1
     thresh_ref_pif: float = 0.3
@@ -55,6 +58,9 @@ class PifPafDecoderConfig:
     part_num_thresh: int = 4
     score_thresh: float = 0.1
     reverse_match: bool = True
+    # Growth-phase backend: "auto" = fused pallas kernel on TPU (interpreted
+    # on CPU only when forced), XLA elsewhere; "pallas" / "xla" force one.
+    grow_backend: str = "auto"
 
 
 def _hr_query(qx, qy, cx, cy, cconf, cscale, cvalid, divisor):
@@ -117,10 +123,10 @@ def _find_connection(mx, my, mscore, mvalid, ox, oy, oscale, x, y, scale):
     return tuple(jnp.where(no_match, 0.0, v) for v in out)
 
 
-def _decode_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray,
-                in_hw: tuple[int, int]):
+def _prepare_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray):
+    """Per-image seed selection + directed-edge candidate tables (everything
+    the growth phase consumes). Returns a dict of fixed-shape arrays."""
     p, l = cfg.n_pos, cfg.n_limbs
-    hin, win = in_hw
     pif_conf = maps["pif_conf"]          # [H, W, P] (sigmoided)
     pif_vec = maps["pif_vec"]            # [H, W, P, 2] restored (px)
     pif_scale = maps["pif_scale"]        # [H, W, P] restored (px)
@@ -212,74 +218,16 @@ def _decode_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray,
     e_valid = jnp.concatenate([fvalid, bvalid], 0)
     n_edges = 2 * l
 
-    def grow_one(seed):
-        """Grow a full skeleton from one seed (bounded frontier loop)."""
-        s_part, s_x, s_y, s_scale, s_score = seed
-        ann_score = jnp.zeros((p,)).at[s_part].set(s_score)
-        ann_x = jnp.zeros((p,)).at[s_part].set(s_x)
-        ann_y = jnp.zeros((p,)).at[s_part].set(s_y)
-        ann_sc = jnp.zeros((p,)).at[s_part].set(s_scale)
-
-        def step(_, ann):
-            ann_score, ann_x, ann_y, ann_sc = ann
-
-            def eval_edge(e):
-                sp = e_src_j[e]
-                dp = e_dst_j[e]
-                ok = (ann_score[sp] > 0) & (ann_score[dp] <= 0)
-                fc, fx, fy, fs = _find_connection(
-                    em_x[e], em_y[e], e_score[e], e_valid[e],
-                    eo_x[e], eo_y[e], eo_s[e],
-                    ann_x[sp], ann_y[sp], ann_sc[sp],
-                )
-                merge = jnp.sqrt(fc * ann_score[sp])
-                if cfg.reverse_match:
-                    rev = (e + l) % (2 * l)
-                    rc, rx, ry, _ = _find_connection(
-                        em_x[rev], em_y[rev], e_score[rev], e_valid[rev],
-                        eo_x[rev], eo_y[rev], eo_s[rev],
-                        fx, fy, fs,
-                    )
-                    rev_ok = (rc > 0.0) & (
-                        jnp.abs(ann_x[sp] - rx) + jnp.abs(ann_y[sp] - ry)
-                        <= ann_sc[sp]
-                    )
-                    merge = jnp.where(rev_ok, merge, 0.0)
-                merge = jnp.where(ok & (fc > 0.0), merge, 0.0)
-                return merge, fx, fy, fs, dp
-
-            merges, fxs, fys, fss, dps = jax.vmap(eval_edge)(
-                jnp.arange(n_edges)
-            )
-            best = jnp.argmax(merges)
-            bscore = merges[best]
-            bdp = dps[best]
-            commit = bscore > 0.0
-            ann_score = jnp.where(
-                commit, ann_score.at[bdp].set(bscore), ann_score
-            )
-            ann_x = jnp.where(commit, ann_x.at[bdp].set(fxs[best]), ann_x)
-            ann_y = jnp.where(commit, ann_y.at[bdp].set(fys[best]), ann_y)
-            ann_sc = jnp.where(commit, ann_sc.at[bdp].set(fss[best]), ann_sc)
-            return ann_score, ann_x, ann_y, ann_sc
-
-        e_src_j = jnp.asarray(e_src)
-        e_dst_j = jnp.asarray(e_dst)
-        return lax.fori_loop(
-            0, cfg.growth_steps, step, (ann_score, ann_x, ann_y, ann_sc)
-        )
-
-    # ---- seed selection + PARALLEL growth -----------------------------------
+    # ---- seed NMS + picks ----------------------------------------------------
     # The reference grows skeletons sequentially, using an occupancy map so
     # later seeds inside an already-claimed region are skipped
     # (processor.py:163-179). Sequential rounds are latency-poison on TPU
     # (max_humans x growth_steps dependent steps), so instead:
     #   1. seed NMS: suppress seeds within occupancy radius of a
     #      higher-scored seed of the same part (the dominant duplicate case);
-    #   2. grow all max_humans survivors IN PARALLEL (one vmapped growth);
-    #   3. the rank-ordered keypoint NMS below deletes any remaining
-    #      duplicate skeletons (their parts zero out; part_num_thresh drops
-    #      them) — same dedup effect, 16x fewer sequential steps.
+    #   2. grow all max_humans survivors IN PARALLEL;
+    #   3. the rank-ordered keypoint NMS in _finalize_one deletes remaining
+    #      duplicate skeletons — same dedup effect, far less sequential depth.
     mh = cfg.max_humans
     occ_seed = jnp.maximum(cfg.min_scale, seed_scale)
     same_part = seed_part[:, None] == seed_part[None, :]
@@ -294,15 +242,109 @@ def _decode_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray,
     seed_keep = seed_valid & ~jnp.any(near_seed, axis=1)
     pick_scores = jnp.where(seed_keep, seed_score, _NEG)
     _, picks = lax.top_k(pick_scores, mh)             # [MH]
-    pick_valid = jnp.take(seed_keep, picks)
 
-    g_score, g_x, g_y, g_sc = jax.vmap(grow_one)((
-        jnp.take(seed_part, picks), jnp.take(seed_x, picks),
-        jnp.take(seed_y, picks), jnp.take(seed_scale, picks),
-        jnp.take(seed_score, picks),
-    ))
-    a_score = jnp.where(pick_valid[:, None], g_score, 0.0)
-    a_x, a_y, a_sc = g_x, g_y, g_sc
+    # Validity folded into the candidate score (w = exp * score, so a zero
+    # score can never win a match) — one table fewer downstream.
+    em_s = jnp.where(e_valid, e_score, 0.0)
+    return {
+        "seed_part": jnp.take(seed_part, picks),
+        "seed_vals": jnp.stack([
+            jnp.take(seed_x, picks), jnp.take(seed_y, picks),
+            jnp.take(seed_scale, picks), jnp.take(seed_score, picks),
+        ], axis=-1),
+        "pick_valid": jnp.take(seed_keep, picks),
+        "tables": (em_x, em_y, em_s, eo_x, eo_y, eo_s),
+    }
+
+
+def _grow_xla(seed_part, seed_vals, tables, cfg: PifPafDecoderConfig,
+              e_src: np.ndarray, e_dst: np.ndarray):
+    """Per-image XLA growth (vmapped over seeds) — fallback for the fused
+    pallas kernel (ops/pallas/grow_kernel.py), identical semantics.
+
+    The reference frontier (heapq, processor.py:338-393) commits ONE
+    connection at a time — n_pos-1 inherently sequential rounds. Here every
+    round commits, for EVERY still-unassigned part, its best-scoring
+    incoming connection from the parts assigned at the round start (Jacobi
+    update). Parts at graph distance d from the seed land in round d, so
+    `growth_steps` only needs to cover the skeleton's eccentricity (<= 8
+    for the COCO 19-bone tree) instead of its part count.
+    """
+    p = cfg.n_pos
+    l = cfg.n_limbs
+    em_x, em_y, em_s, eo_x, eo_y, eo_s = tables
+    n_edges = 2 * l
+    e_valid = em_s > 0.0
+    dst_onehot = np.zeros((n_edges, p), bool)
+    dst_onehot[np.arange(n_edges), e_dst] = True
+    dst_onehot_j = jnp.asarray(dst_onehot)
+    e_src_j = jnp.asarray(e_src)
+    e_dst_j = jnp.asarray(e_dst)
+
+    def grow_one(s_part, sv):
+        s_x, s_y, s_scale, s_score = sv[0], sv[1], sv[2], sv[3]
+        ann_score = jnp.zeros((p,)).at[s_part].set(s_score)
+        ann_x = jnp.zeros((p,)).at[s_part].set(s_x)
+        ann_y = jnp.zeros((p,)).at[s_part].set(s_y)
+        ann_sc = jnp.zeros((p,)).at[s_part].set(s_scale)
+
+        def step(ann):
+            ann_score, ann_x, ann_y, ann_sc = ann
+
+            def eval_edge(e):
+                sp = e_src_j[e]
+                dp = e_dst_j[e]
+                ok = (ann_score[sp] > 0) & (ann_score[dp] <= 0)
+                fc, fx, fy, fs = _find_connection(
+                    em_x[e], em_y[e], em_s[e], e_valid[e],
+                    eo_x[e], eo_y[e], eo_s[e],
+                    ann_x[sp], ann_y[sp], ann_sc[sp],
+                )
+                merge = jnp.sqrt(fc * ann_score[sp])
+                if cfg.reverse_match:
+                    rev = (e + l) % (2 * l)
+                    rc, rx, ry, _ = _find_connection(
+                        em_x[rev], em_y[rev], em_s[rev], e_valid[rev],
+                        eo_x[rev], eo_y[rev], eo_s[rev],
+                        fx, fy, fs,
+                    )
+                    rev_ok = (rc > 0.0) & (
+                        jnp.abs(ann_x[sp] - rx) + jnp.abs(ann_y[sp] - ry)
+                        <= ann_sc[sp]
+                    )
+                    merge = jnp.where(rev_ok, merge, 0.0)
+                merge = jnp.where(ok & (fc > 0.0), merge, 0.0)
+                return merge, fx, fy, fs
+
+            merges, fxs, fys, fss = jax.vmap(eval_edge)(
+                jnp.arange(n_edges)
+            )
+            # Per-part best incoming edge (segment argmax over edges).
+            contrib = jnp.where(dst_onehot_j, merges[:, None], 0.0)  # [E, P]
+            best_e = jnp.argmax(contrib, axis=0)                     # [P]
+            best_score = jnp.max(contrib, axis=0)
+            commit = best_score > 0.0
+            ann_score = jnp.where(commit, best_score, ann_score)
+            ann_x = jnp.where(commit, fxs[best_e], ann_x)
+            ann_y = jnp.where(commit, fys[best_e], ann_y)
+            ann_sc = jnp.where(commit, fss[best_e], ann_sc)
+            return ann_score, ann_x, ann_y, ann_sc
+
+        # Unrolled: growth_steps is small and fixed, and unrolling lets XLA
+        # fuse across rounds instead of paying loop-carry latency per round.
+        ann = (ann_score, ann_x, ann_y, ann_sc)
+        for _ in range(cfg.growth_steps):
+            ann = step(ann)
+        return ann
+
+    return jax.vmap(grow_one)(seed_part, seed_vals)
+
+
+def _finalize_one(a_score, a_x, a_y, a_sc, pick_valid,
+                  cfg: PifPafDecoderConfig, in_hw: tuple[int, int]):
+    """Keypoint-wise NMS + scoring + fixed-shape output (per image)."""
+    hin, win = in_hw
+    a_score = jnp.where(pick_valid[:, None], a_score, 0.0)
 
     # ---- keypoint-wise NMS (reference: processor.py:245-259) ----------------
     totals = jnp.sum(a_score, axis=1)                      # [MH]
@@ -377,6 +419,14 @@ def restore_maps(predict: dict, stride: int) -> dict:
     }
 
 
+def _use_pallas_grow(cfg: PifPafDecoderConfig) -> bool:
+    if cfg.grow_backend == "pallas":
+        return True
+    if cfg.grow_backend == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "stride", "in_hw", "topology")
 )
@@ -390,9 +440,32 @@ def pifpaf_decode_batch(
     """Batched decode from RAW model outputs (pre-activation NHWC fields)."""
     maps = restore_maps(predict, stride)
     limbs = np.asarray(topology.limbs)
+    e_src = np.concatenate([limbs[:, 0], limbs[:, 1]])
+    e_dst = np.concatenate([limbs[:, 1], limbs[:, 0]])
 
-    def one(m):
-        return _decode_one(m, cfg, limbs, in_hw)
+    prep = jax.vmap(lambda m: _prepare_one(m, cfg, limbs))(maps)
 
-    coords, part_scores, part_valid, scores, valid = jax.vmap(one)(maps)
+    if _use_pallas_grow(cfg):
+        from .pallas.grow_kernel import fused_grow
+
+        # Reverse edge of e is (e + L) % 2L: a static table permutation.
+        rev = ((np.arange(2 * cfg.n_limbs) + cfg.n_limbs)
+               % (2 * cfg.n_limbs))
+        rev_tables = tuple(t[:, rev] for t in prep["tables"])
+        anns = fused_grow(
+            prep["seed_part"], prep["seed_vals"], prep["tables"],
+            rev_tables, tuple(int(v) for v in e_src),
+            tuple(int(v) for v in e_dst), cfg.n_pos, cfg.growth_steps,
+            cfg.reverse_match,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        anns = jax.vmap(
+            lambda sp, sv, tb: _grow_xla(sp, sv, tb, cfg, e_src, e_dst)
+        )(prep["seed_part"], prep["seed_vals"], prep["tables"])
+
+    a_score, a_x, a_y, a_sc = anns
+    coords, part_scores, part_valid, scores, valid = jax.vmap(
+        lambda s, x, y, sc_, pv: _finalize_one(s, x, y, sc_, pv, cfg, in_hw)
+    )(a_score, a_x, a_y, a_sc, prep["pick_valid"])
     return DecodedSkeletons(coords, part_scores, part_valid, scores, valid)

@@ -265,3 +265,49 @@ def test_find_connection_matches_reference_semantics():
         if not np.allclose(got, want, atol=1e-4):
             mismatches += 1
     assert mismatches == 0, f"{mismatches}/50 trials diverged"
+
+
+def test_grow_pallas_matches_xla():
+    """The fused pallas growth kernel (interpret mode on CPU) is
+    bit-equivalent to the XLA fallback growth."""
+    fields = synth_fields(TWO_PEOPLE)
+    out_x = pifpaf_decode_batch(
+        fields, PifPafDecoderConfig(grow_backend="xla"), 8, (368, 432)
+    )
+    out_p = pifpaf_decode_batch(
+        fields, PifPafDecoderConfig(grow_backend="pallas"), 8, (368, 432)
+    )
+    for name in ("coords", "part_scores", "part_valid", "scores", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_x, name)),
+            np.asarray(getattr(out_p, name)), atol=1e-5, err_msg=name,
+        )
+
+
+def test_grow_pallas_matches_xla_random():
+    """Same equivalence on dense random fields (exercises ties, rejects,
+    reverse-match failures)."""
+    rng = np.random.default_rng(7)
+    h, w = 24, 28
+    fields = {
+        "pif_conf": rng.normal(size=(2, h, w, 17)).astype(np.float32),
+        "pif_vec": rng.normal(size=(2, h, w, 17, 2)).astype(np.float32),
+        "pif_bmin": np.zeros((2, h, w, 17), np.float32),
+        "pif_scale": rng.normal(size=(2, h, w, 17)).astype(np.float32),
+        "paf_conf": rng.normal(size=(2, h, w, 19)).astype(np.float32),
+        "paf_src_vec": rng.normal(size=(2, h, w, 19, 2)).astype(np.float32),
+        "paf_dst_vec": rng.normal(size=(2, h, w, 19, 2)).astype(np.float32),
+        "paf_src_scale": rng.normal(size=(2, h, w, 19)).astype(np.float32),
+        "paf_dst_scale": rng.normal(size=(2, h, w, 19)).astype(np.float32),
+    }
+    out_x = pifpaf_decode_batch(
+        fields, PifPafDecoderConfig(grow_backend="xla"), 8, (192, 224)
+    )
+    out_p = pifpaf_decode_batch(
+        fields, PifPafDecoderConfig(grow_backend="pallas"), 8, (192, 224)
+    )
+    for name in ("coords", "part_scores", "part_valid", "scores", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_x, name)),
+            np.asarray(getattr(out_p, name)), atol=1e-4, err_msg=name,
+        )
