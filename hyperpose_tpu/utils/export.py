@@ -19,6 +19,7 @@ import numpy as np
 def export_npz(variables, path: str) -> str:
     from ..train.checkpoint import save_weights_npz
 
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     save_weights_npz(variables, path)
     return path
 
