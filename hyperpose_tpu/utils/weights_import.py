@@ -1,0 +1,231 @@
+"""Ingest reference TensorLayer `npz_dict` checkpoints into flax variables.
+
+The reference saves weights as `{<layer_name>/<param_name>:0: array}`
+(reference: Model/train.py:319 train_model.save_weights(.., format=
+"npz_dict"); names come from the explicit `name=` kwargs in the reference
+model definitions, e.g. openpose/model/openpose.py:119-199). Exact layer
+names vary across TensorLayer versions, so this importer does NOT rely on
+a hand-written name table. Instead it exploits two invariants:
+
+  1. npz_dict preserves the model's build order (zip entry order), and our
+     flax trees flatten in a name order that tracks the architectural order
+     within each block family;
+  2. a parameter's KIND (conv kernel / bias / BN scale / BN bias / BN
+     moving stats / PReLU alpha) is recoverable from its TL param name, and
+     its shape must match exactly.
+
+Each kind forms an ordered stream on both sides; every source entry is
+greedily assigned to the first unclaimed target of the same kind whose
+shape it fits, so uniquely-shaped layers (stems, heads) align regardless of
+relative ordering and equally-shaped runs align by order. TF/TL conv
+kernels are HWIO
+— the same layout flax uses — so no transposition is needed; TF depthwise
+kernels [H, W, C, M] are reshaped to flax's grouped-conv [H, W, 1, C*M].
+
+Use `compare_report` first to inspect how a given file lines up.
+"""
+from __future__ import annotations
+
+import logging
+import zipfile
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+logger = logging.getLogger("hyperpose_tpu.MODEL")
+
+# TL param-name suffix -> kind (reference: tensorlayer layer weight names).
+_TL_KINDS = {
+    "filters": "kernel", "weights": "kernel", "kernel": "kernel",
+    "W": "kernel",
+    "biases": "bias", "b": "bias", "bias": "bias",
+    "gamma": "bn_scale", "beta": "bn_bias",
+    "moving_mean": "mean", "moving_var": "var",
+    "moving_variance": "var",
+    "alphas": "alpha", "alpha": "alpha",
+}
+
+
+@dataclass
+class Entry:
+    name: str
+    kind: str
+    array: np.ndarray
+
+
+def _tl_kind(key: str) -> str | None:
+    base = key.rsplit(":", 1)[0].rsplit("/", 1)[-1]
+    return _TL_KINDS.get(base)
+
+
+def load_npz_dict_entries(path: str) -> list[Entry]:
+    """npz entries in file (build) order with kind classification."""
+    with zipfile.ZipFile(path) as zf:
+        order = [n[:-4] for n in zf.namelist() if n.endswith(".npy")]
+    data = np.load(path, allow_pickle=True)
+    entries = []
+    for key in order:
+        arr = np.asarray(data[key])
+        if arr.dtype == object:
+            arr = np.asarray(arr.item())
+        kind = _tl_kind(key)
+        if kind is None:
+            logger.warning("npz_dict key %s: unknown kind, skipped", key)
+            continue
+        entries.append(Entry(key, kind, arr))
+    return entries
+
+
+def _flax_kind(path_names: tuple[str, ...], collection: str) -> str | None:
+    leaf = path_names[-1]
+    if collection == "batch_stats":
+        return {"mean": "mean", "var": "var"}.get(leaf)
+    if leaf == "kernel":
+        return "kernel"
+    if leaf == "scale":
+        return "bn_scale"
+    if leaf == "alpha":
+        return "alpha"
+    if leaf == "bias":
+        # flax BatchNorm uses 'bias' too; its sibling is 'scale'.
+        return "bn_bias" if "bn" in path_names[-2].lower() else "bias"
+    return None
+
+
+def _target_entries(variables: dict) -> list[tuple[str, tuple, str, tuple]]:
+    """[(collection, keypath, kind, shape)] in tree order (layer order)."""
+    out = []
+    for coll in ("params", "batch_stats"):
+        if coll not in variables or not variables[coll]:
+            continue
+        flat, _ = jax.tree_util.tree_flatten_with_path(variables[coll])
+        for path, leaf in flat:
+            names = tuple(
+                p.key if hasattr(p, "key") else str(p) for p in path
+            )
+            kind = _flax_kind(names, coll)
+            if kind is not None:
+                out.append((coll, names, kind, tuple(leaf.shape)))
+    return out
+
+
+def _adapt(arr: np.ndarray, shape: tuple) -> np.ndarray | None:
+    """Fit a TL array to a flax param shape (dw-conv reshape, squeeze)."""
+    if tuple(arr.shape) == shape:
+        return arr
+    # TF depthwise [H, W, C, M] -> flax grouped conv [H, W, 1, C*M]
+    if (
+        arr.ndim == 4 and len(shape) == 4 and shape[2] == 1
+        and arr.shape[0] == shape[0] and arr.shape[1] == shape[1]
+        and arr.shape[2] * arr.shape[3] == shape[3]
+    ):
+        return arr.reshape(shape)
+    if arr.size == int(np.prod(shape)):
+        return arr.reshape(shape)
+    return None
+
+
+def compare_report(variables: dict, npz_path: str) -> dict:
+    """Dry-run alignment report: per kind, how many source/target entries
+    and whether the ordered shapes line up."""
+    sources = load_npz_dict_entries(npz_path)
+    targets = _target_entries(variables)
+    report = {}
+    kinds = {e.kind for e in sources} | {t[2] for t in targets}
+    for kind in sorted(kinds):
+        src = [e for e in sources if e.kind == kind]
+        tgt = [t for t in targets if t[2] == kind]
+        matched = _greedy_match(src, tgt)
+        report[kind] = {
+            "source": len(src), "target": len(tgt),
+            "matched": len(matched),
+            "aligned": len(matched) == len(src) == len(tgt),
+        }
+    return report
+
+
+def _greedy_match(src: list[Entry], tgt: list) -> list[tuple[Entry, tuple]]:
+    """Assign each source entry (in build order) to the first unclaimed
+    shape-compatible target (in tree order)."""
+    taken = [False] * len(tgt)
+    matched = []
+    for e in src:
+        for i, t in enumerate(tgt):
+            if taken[i]:
+                continue
+            if _adapt(e.array, t[3]) is not None:
+                taken[i] = True
+                matched.append((e, t))
+                break
+    return matched
+
+
+def import_npz_dict(variables: dict, npz_path: str, strict: bool = True):
+    """Returns a copy of `variables` with every matched parameter replaced
+    by the reference checkpoint value (order-preserving per-kind merge).
+
+    strict=True raises if any stream misaligns (count or shape mismatch);
+    strict=False imports the aligned prefix of each stream and logs the
+    rest (the analog of tl.files.load_and_assign_npz_dict(skip=True),
+    reference: Model/train.py:432).
+    """
+    sources = load_npz_dict_entries(npz_path)
+    targets = _target_entries(variables)
+
+    by_kind_src: dict[str, list[Entry]] = {}
+    for e in sources:
+        by_kind_src.setdefault(e.kind, []).append(e)
+    by_kind_tgt: dict[str, list] = {}
+    for t in targets:
+        by_kind_tgt.setdefault(t[2], []).append(t)
+
+    assignments: dict[tuple, np.ndarray] = {}
+    problems = []
+    for kind, tgt in by_kind_tgt.items():
+        src = by_kind_src.get(kind, [])
+        if len(src) != len(tgt):
+            problems.append(
+                f"kind {kind}: {len(src)} source vs {len(tgt)} target entries"
+            )
+        matched = _greedy_match(src, tgt)
+        if len(matched) < min(len(src), len(tgt)):
+            problems.append(
+                f"kind {kind}: only {len(matched)}/{len(src)} source "
+                "entries found a shape-compatible target"
+            )
+        for e, t in matched:
+            assignments[(t[0],) + t[1]] = _adapt(e.array, t[3])
+    for kind, src in by_kind_src.items():
+        if kind not in by_kind_tgt:
+            problems.append(f"kind {kind}: {len(src)} unused source entries")
+    if problems:
+        msg = "npz_dict import misalignments:\n  " + "\n  ".join(problems)
+        if strict:
+            raise ValueError(msg)
+        logger.warning(msg)
+
+    def replace(coll):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(variables[coll])
+        leaves = []
+        for path, leaf in flat:
+            names = (coll,) + tuple(
+                p.key if hasattr(p, "key") else str(p) for p in path
+            )
+            if names in assignments:
+                leaves.append(
+                    np.asarray(assignments[names], dtype=leaf.dtype)
+                )
+            else:
+                leaves.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    out = dict(variables)
+    for coll in ("params", "batch_stats"):
+        if coll in variables and variables[coll]:
+            out[coll] = replace(coll)
+    logger.info(
+        "imported %d/%d parameters from %s",
+        len(assignments), len(targets), npz_path,
+    )
+    return out
