@@ -37,6 +37,11 @@ ROWS = [
     ("lwopenpose_tinyvgg_432x368",
      lambda: LightWeightOpenPose(backbone=B.VggTiny, dtype=jnp.bfloat16),
      (368, 432), 124.925),
+    # TPU-native space-to-depth TinyVGG variant (same capacity/stride;
+    # baseline column reuses the reference TinyVGG figure)
+    ("lwopenpose_tinyvgg_s2d_432x368",
+     lambda: LightWeightOpenPose(backbone=B.VggTinyS2D, dtype=jnp.bfloat16),
+     (368, 432), 124.925),
     ("lwopenpose_mobilenet_432x368",
      lambda: LightWeightOpenPose(dtype=jnp.bfloat16), (368, 432), 84.32),
     ("lwopenpose_resnet18_432x368",

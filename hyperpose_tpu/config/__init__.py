@@ -27,6 +27,9 @@ class BACKBONE(Enum):
     Vgg16 = 8
     Resnet18 = 9
     Resnet50 = 10
+    # TPU-native extension: TinyVGG with a space-to-depth stem
+    # (models/backbones.py VggTinyS2D); no reference counterpart.
+    VggtinyS2D = 11
 
 
 class MODEL(Enum):

@@ -70,3 +70,32 @@ def test_train_mode_has_batch_stats():
         variables, x, train=True, mutable=["batch_stats"]
     )
     assert "batch_stats" in updates
+
+
+def test_vggtiny_s2d_backbone():
+    """TPU-native space-to-depth TinyVGG: same stride/out_channels as the
+    faithful TinyVGG, usable through the facade."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyperpose_tpu import Config, Model
+    from hyperpose_tpu.models.backbones import VggTiny, VggTinyS2D
+
+    m = VggTinyS2D(dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 96, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    ref = VggTiny(dtype=jnp.float32)
+    vr = ref.init(jax.random.PRNGKey(0), x, train=False)
+    assert out.shape == ref.apply(vr, x, train=False).shape
+
+    Config.reset()
+    Config.set_model_type(Config.MODEL.LightweightOpenpose)
+    Config.set_model_backbone(Config.BACKBONE.VggtinyS2D)
+    cfg = Config.get_config(create_dirs=False)
+    model = Model.get_model(cfg)
+    v2 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3), model.dtype),
+                    train=False)
+    o2 = model.apply(v2, jnp.zeros((1, 64, 96, 3), model.dtype), train=False)
+    assert o2["conf_map"].shape[1:3] == (8, 12)
+    Config.reset()
