@@ -36,6 +36,10 @@ def parse_args():
     p.add_argument("--weights", type=str, default=None)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--logging", action="store_true")
+    p.add_argument("--quantize", type=int, default=0, metavar="N",
+                   help="calibrate on the first N source frames and serve "
+                        "int8 (reference analog: int8 TFLite export, "
+                        "export_tflite.py:29-41)")
     return p.parse_args()
 
 
@@ -69,6 +73,39 @@ def build_engine(args):
         topology=Model.get_topology(cfg), fused_decode=fused,
     )
     return engine, Model.get_topology(cfg)
+
+
+def _calibration_batches(args, engine):
+    """First N source frames, resized to the engine input, chunked into
+    engine-sized uint8 batches for int8 calibration."""
+    import cv2
+    import numpy as np
+
+    h, w = engine.input_hw
+    frames = []
+    if os.path.isdir(args.source):
+        paths = sorted(
+            p for p in glob.glob(os.path.join(args.source, "*"))
+            if p.lower().endswith((".jpg", ".jpeg", ".png"))
+        )[:args.quantize]
+        for p in paths:
+            img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            frames.append(cv2.resize(img, (w, h)))
+    else:
+        src = int(args.source) if args.source.isdigit() else args.source
+        cap = cv2.VideoCapture(src)
+        while len(frames) < args.quantize:
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.resize(cv2.cvtColor(f, cv2.COLOR_BGR2RGB),
+                                     (w, h)))
+        cap.release()
+    if not frames:
+        return []
+    arr = np.stack(frames).astype(np.uint8)
+    bs = engine.max_batch_size
+    return [arr[i:i + bs] for i in range(0, len(arr), bs)]
 
 
 def run_operator(args, engine, topo):
@@ -132,6 +169,18 @@ def main():
     if args.logging:
         logging.basicConfig(level=logging.INFO)
     engine, topo = build_engine(args)
+    if args.quantize:
+        from . import quant
+
+        batches = _calibration_batches(args, engine)
+        if batches:
+            t0 = time.perf_counter()
+            engine = quant.quantize_engine(engine, batches)
+            print(f"int8 calibration on {sum(len(b) for b in batches)} "
+                  f"frames: {time.perf_counter() - t0:.1f}s "
+                  f"({len(engine.quant_scales)} convs quantized)")
+        else:
+            print("warning: --quantize given but no calibration frames read")
     if args.runtime == "stream" or (
         not os.path.isdir(args.source)
     ):

@@ -57,9 +57,16 @@ class PoseEngine:
         topology: Topology = COCO_TOPOLOGY,
         keep_ratio: bool = False,
         fused_decode=None,
+        quant_scales: dict[str, float] | None = None,
     ):
         """fused_decode(variables, x_normalized) -> DecodedSkeletons
-        overrides the default PAF-family path (PoseProposal / PifPaf)."""
+        overrides the default PAF-family path (PoseProposal / PifPaf).
+
+        quant_scales: activation scale table from `hyperpose_tpu.quant
+        .calibrate` — when given, every calibrated conv in the forward pass
+        runs as int8 on the MXU (reference analog: the int8 TFLite export
+        path, export_tflite.py:29-41, promoted here to a first-class serving
+        mode)."""
         self.model = model
         self.variables = jax.device_put(variables)
         self.input_hw = tuple(input_hw)
@@ -68,10 +75,24 @@ class PoseEngine:
         self.topology = topology
         self.keep_ratio = keep_ratio
         self.fused_decode = fused_decode
+        self.quant_scales = dict(quant_scales) if quant_scales else None
         self.stats = EngineStats()
         self._feat_hw: tuple[int, int] | None = None
 
     # -- device path ---------------------------------------------------------
+
+    def _quant_ctx(self):
+        """Context manager activating int8 convs during tracing (no-op when
+        the engine is not quantized)."""
+        if self.quant_scales is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        from flax import linen as nn
+
+        from ..quant import make_interceptor
+
+        return nn.intercept_methods(make_interceptor(self.quant_scales))
 
     @functools.cached_property
     def _step(self):
@@ -81,14 +102,16 @@ class PoseEngine:
 
             @jax.jit
             def custom(variables, images_u8):
-                return fused(variables, images_u8)
+                with self._quant_ctx():
+                    return fused(variables, images_u8)
 
             return custom
 
         @jax.jit
         def step(variables, images_u8):
             x = images_u8.astype(model.dtype) / 255.0
-            out = model.apply(variables, x, train=False)
+            with self._quant_ctx():
+                out = model.apply(variables, x, train=False)
             conf = out["conf_map"].astype(jnp.float32)
             paf = out["paf_map"].astype(jnp.float32)
             feat_hw = (conf.shape[1], conf.shape[2])
