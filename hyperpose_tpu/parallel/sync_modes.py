@@ -47,7 +47,7 @@ def make_local_step_train_fn(
     if mode not in ("sync_avg", "pair_avg"):
         raise ValueError(mode)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     dp = int(mesh.shape["dp"])
     # Two involutive pairings (dp must be even for pair_avg):
@@ -97,6 +97,6 @@ def make_local_step_train_fn(
         device_step, mesh=mesh,
         in_specs=(rep, rep, rep, img, img, rep),
         out_specs=(rep, rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
