@@ -32,6 +32,12 @@ def parse_args():
     p.add_argument("--runtime", type=str, default="operator",
                    choices=["operator", "stream"])
     p.add_argument("--keep_ratio", action="store_true")
+    p.add_argument("--imshow", action="store_true",
+                   help="display annotated frames in a window "
+                        "(reference: cli.cpp --imshow)")
+    p.add_argument("--alpha", type=float, default=1.0,
+                   help="skeleton overlay blend factor "
+                        "(reference: cli.cpp --alpha)")
     p.add_argument("--saving_prefix", type=str, default="output")
     p.add_argument("--weights", type=str, default=None)
     p.add_argument("--limit", type=int, default=None)
@@ -134,7 +140,11 @@ def run_operator(args, engine, topo):
         ]
         results = engine.inference(images)
         for path, img, humans in zip(chunk, images, results):
-            out = draw_humans(img, humans, topo)
+            out = draw_humans(img, humans, topo, alpha=args.alpha)
+            if args.imshow:
+                cv2.imshow("hyperpose-tpu", cv2.cvtColor(out,
+                                                         cv2.COLOR_RGB2BGR))
+                cv2.waitKey(1)
             dst = os.path.join(
                 args.saving_prefix, os.path.basename(path)
             )
@@ -155,7 +165,8 @@ def run_stream(args, engine, topo):
     out_path = f"{args.saving_prefix}.mp4"
     source = int(args.source) if args.source.isdigit() else args.source
     stats = sp.process_video(
-        source, out_path, topology=topo, limit=args.limit
+        source, out_path, topology=topo, limit=args.limit,
+        alpha=args.alpha, imshow=args.imshow,
     )
     print(
         f"stream mode: {stats['frames']} frames in {stats['seconds']:.2f}s "

@@ -227,6 +227,7 @@ class StreamProcessor:
     def process_video(
         self, source: str, output: str | None = None,
         topology=None, limit: int | None = None,
+        alpha: float = 1.0, imshow: bool = False,
     ) -> dict:
         """Video file/camera end-to-end (reference: examples/cli.cpp stream
         mode + write_to VideoWriter, src/stream.cpp:114-147)."""
@@ -251,17 +252,24 @@ class StreamProcessor:
         t0 = time.perf_counter()
         n_humans = 0
         for result in self.process(frames()):
-            if output is not None:
-                if writer is None:
-                    hh, ww = result.frame.shape[:2]
-                    writer = cv2.VideoWriter(
-                        output, cv2.VideoWriter_fourcc(*"mp4v"), fps_in,
-                        (ww, hh),
-                    )
+            if output is not None or imshow:
                 out_frame = result.frame
                 if topology is not None:
-                    out_frame = draw_humans(out_frame, result.humans, topology)
-                writer.write(cv2.cvtColor(out_frame, cv2.COLOR_RGB2BGR))
+                    out_frame = draw_humans(
+                        out_frame, result.humans, topology, alpha=alpha
+                    )
+                bgr = cv2.cvtColor(out_frame, cv2.COLOR_RGB2BGR)
+                if output is not None:
+                    if writer is None:
+                        hh, ww = result.frame.shape[:2]
+                        writer = cv2.VideoWriter(
+                            output, cv2.VideoWriter_fourcc(*"mp4v"), fps_in,
+                            (ww, hh),
+                        )
+                    writer.write(bgr)
+                if imshow:
+                    cv2.imshow("hyperpose-tpu", bgr)
+                    cv2.waitKey(1)
             n_humans += len(result.humans)
         if writer is not None:
             writer.release()

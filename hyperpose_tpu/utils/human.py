@@ -119,10 +119,12 @@ def draw_humans(
     humans: Sequence[Human],
     topology: Topology,
     thickness: int = 3,
+    alpha: float = 1.0,
 ) -> np.ndarray:
     """Draw skeletons on an HWC uint8 image (reference: src/human.cpp:7-39).
 
-    Coordinates in `humans` are normalized to [0, 1].
+    Coordinates in `humans` are normalized to [0, 1]. `alpha` blends the
+    skeleton overlay into the original frame (reference: cli.cpp --alpha).
     """
     import cv2
 
@@ -140,4 +142,6 @@ def draw_humans(
             if int(a) in centers and int(b) in centers:
                 color = tuple(int(c) for c in colors[l % len(colors)])
                 cv2.line(out, centers[int(a)], centers[int(b)], color, thickness - 1)
+    if alpha < 1.0:
+        out = cv2.addWeighted(out, alpha, image, 1.0 - alpha, 0.0)
     return out
