@@ -11,6 +11,12 @@ import sys
 import time
 
 import jax
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -129,11 +135,13 @@ def bench_one(name, builder, hw, ref_fps, batch=8, steps=10):
 
 if __name__ == "__main__":
     only = sys.argv[1] if len(sys.argv) > 1 else None
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else int(
+        os.environ.get("BENCH_BATCH", "8"))
     for name, builder, hw, ref in ROWS:
         if only and only not in name:
             continue
         try:
-            bench_one(name, builder, hw, ref)
+            bench_one(name, builder, hw, ref, batch=batch)
         except Exception as e:  # keep the sweep alive
             print(json.dumps({"metric": name, "error": str(e)[:200]}),
                   flush=True)

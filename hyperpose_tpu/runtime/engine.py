@@ -193,9 +193,16 @@ class PoseEngine:
             raise ValueError(
                 f"batch {n} exceeds max_batch_size {self.max_batch_size}"
             )
+        from . import native
+
         with tracing.scope("engine/preprocess"):
             for i, img in enumerate(images):
-                if self.keep_ratio:
+                r = native.resize_into_batch(
+                    img, batch, i, keep_ratio=self.keep_ratio
+                )
+                if r is not None:
+                    ratios.append(r if self.keep_ratio else (1.0, 1.0))
+                elif self.keep_ratio:
                     from ..ops.image import letterbox_resize
 
                     canvas, rx, ry = letterbox_resize(img, (h, w))

@@ -67,6 +67,10 @@ def get_lib():
         lib.hp_copy_into_batch.argtypes = [
             ctypes.c_char_p, i64, i64, ctypes.c_char_p, i64, i64, i64,
         ]
+        lib.hp_resize_into_batch.argtypes = [
+            ctypes.c_char_p, i64, i64, ctypes.c_char_p, i64, i64, i64,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
         lib.hp_pool_new.restype = p
         lib.hp_pool_new.argtypes = [ctypes.c_int, ctypes.c_int]
         lib.hp_pool_free.argtypes = [p]
@@ -74,6 +78,38 @@ def get_lib():
         lib.hp_pool_wait.argtypes = [p]
         _lib = lib
         return _lib
+
+
+def resize_into_batch(img, batch, slot: int, keep_ratio: bool = False,
+                      swap_rb: bool = False):
+    """Native bilinear resize of an HWC3 uint8 frame straight into
+    `batch[slot]` (letterbox when keep_ratio). Returns (rx, ry) coverage
+    ratios, or None when the native library is unavailable (caller should
+    fall back to the cv2 path).
+
+    Reference analog: the resize worker + nhwc_images_append_nchw_batch
+    (src/stream.cpp:68-112, src/data.cpp:21-69) — here the resize lands
+    directly in the device-staging NHWC batch with no intermediate copies.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        return None
+    if not img.flags["C_CONTIGUOUS"]:
+        img = np.ascontiguousarray(img)
+    assert batch.dtype == np.uint8 and batch.flags["C_CONTIGUOUS"]
+    b, dh, dw, _ = batch.shape
+    assert 0 <= slot < b
+    ratio = (ctypes.c_float * 2)()
+    lib.hp_resize_into_batch(
+        img.ctypes.data_as(ctypes.c_char_p), img.shape[0], img.shape[1],
+        batch.ctypes.data_as(ctypes.c_char_p), slot, dh, dw,
+        1 if keep_ratio else 0, 1 if swap_rb else 0, ratio,
+    )
+    return float(ratio[0]), float(ratio[1])
 
 
 class NativeQueue:

@@ -9,7 +9,9 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libhp_runtime.so hp_runtime.cpp -lpthread
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -239,6 +241,100 @@ void hp_copy_into_batch(const uint8_t* src, int64_t sh, int64_t sw,
             std::memcpy(drow + x * 3, srow + sx * 3, 3);
         }
     }
+}
+
+// ---------------------------------------------------------------------------
+// Bilinear uint8 HWC3 resize into a batch slot, with optional aspect-
+// preserving letterbox (top-left placement, black pad) and BGR<->RGB swap.
+// cv2 INTER_LINEAR-compatible sampling (half-pixel centers), fixed-point
+// 16.16 arithmetic. out_ratio[0]=rx, out_ratio[1]=ry are the canvas
+// coverage fractions (reference: src/data.cpp:53-69 non_scaling_resize,
+// include/hyperpose/utility/human.hpp:44-58 resume_ratio). This is the
+// native data-loader hot path: frames are resized straight into the pinned
+// device-staging batch without touching the GIL.
+// ---------------------------------------------------------------------------
+
+void hp_resize_into_batch(const uint8_t* src, int64_t sh, int64_t sw,
+                          uint8_t* dst_batch, int64_t slot, int64_t dh,
+                          int64_t dw, int keep_ratio, int swap_rb,
+                          float* out_ratio) {
+    uint8_t* dst = dst_batch + slot * dh * dw * 3;
+    int64_t nw = dw, nh = dh;
+    if (keep_ratio) {
+        const double scale =
+            std::min(double(dw) / double(sw), double(dh) / double(sh));
+        nw = std::max<int64_t>(1, llround(double(sw) * scale));
+        nh = std::max<int64_t>(1, llround(double(sh) * scale));
+        nw = std::min(nw, dw);
+        nh = std::min(nh, dh);
+        std::memset(dst, 0, static_cast<size_t>(dh * dw * 3));
+    }
+    // Two-pass separable bilinear, 11-bit fixed point per pass (cv2's
+    // INTER_RESIZE_COEF_BITS): horizontal gather indices (with the BGR->RGB
+    // swap folded in) are precomputed once per call; horizontally
+    // interpolated rows are cached and reused across output rows that share
+    // a source row pair (big win when upscaling).
+    constexpr int32_t SHIFT = 11;
+    constexpr int32_t ONE = 1 << SHIFT;
+    const int64_t rowlen = nw * 3;
+    std::vector<int32_t> ia(static_cast<size_t>(rowlen));
+    std::vector<int32_t> ib(static_cast<size_t>(rowlen));
+    std::vector<int32_t> wx(static_cast<size_t>(rowlen));
+    const int c_src[3] = {swap_rb ? 2 : 0, 1, swap_rb ? 0 : 2};
+    for (int64_t x = 0; x < nw; ++x) {
+        double fx = (x + 0.5) * double(sw) / double(nw) - 0.5;
+        fx = std::max(0.0, std::min(fx, double(sw - 1)));
+        const int64_t x0 =
+            std::min<int64_t>(int64_t(fx), std::max<int64_t>(sw - 2, 0));
+        const int32_t w = int32_t((fx - double(x0)) * double(ONE) + 0.5);
+        const int64_t step = (x0 + 1 < sw) ? 3 : 0;
+        for (int c = 0; c < 3; ++c) {
+            const size_t i = static_cast<size_t>(x * 3 + c);
+            ia[i] = int32_t(x0 * 3 + c_src[c]);
+            ib[i] = int32_t(x0 * 3 + step + c_src[c]);
+            wx[i] = w;
+        }
+    }
+    // hbuf holds two horizontally-interpolated source rows (values in
+    // [0, 255*ONE], fits int32).
+    std::vector<int32_t> hbuf(static_cast<size_t>(2 * rowlen));
+    int32_t* rows[2] = {hbuf.data(), hbuf.data() + rowlen};
+    int64_t cached[2] = {-1, -1};
+    auto hrow = [&](int64_t sy, int which) -> const int32_t* {
+        int32_t* out = rows[which];
+        if (cached[which] == sy) return out;
+        const uint8_t* s = src + sy * sw * 3;
+        for (int64_t i = 0; i < rowlen; ++i) {
+            const int32_t w = wx[static_cast<size_t>(i)];
+            out[i] = int32_t(s[ia[static_cast<size_t>(i)]]) * (ONE - w) +
+                     int32_t(s[ib[static_cast<size_t>(i)]]) * w;
+        }
+        cached[which] = sy;
+        return out;
+    };
+    for (int64_t y = 0; y < nh; ++y) {
+        double fy = (y + 0.5) * double(sh) / double(nh) - 0.5;
+        fy = std::max(0.0, std::min(fy, double(sh - 1)));
+        const int64_t y0 =
+            std::min<int64_t>(int64_t(fy), std::max<int64_t>(sh - 2, 0));
+        const int64_t y1 = std::min(y0 + 1, sh - 1);
+        const int32_t wy = int32_t((fy - double(y0)) * double(ONE) + 0.5);
+        if (cached[0] != y0 && cached[1] == y0) {
+            std::swap(rows[0], rows[1]);
+            std::swap(cached[0], cached[1]);
+        }
+        const int32_t* h0 = hrow(y0, 0);
+        const int32_t* h1 = hrow(y1, 1);
+        uint8_t* drow = dst + y * dw * 3;
+        for (int64_t i = 0; i < rowlen; ++i) {
+            const int64_t v =
+                (int64_t(h0[i]) * (ONE - wy) + int64_t(h1[i]) * wy +
+                 (int64_t(1) << (2 * SHIFT - 1))) >> (2 * SHIFT);
+            drow[i] = uint8_t(v > 255 ? 255 : (v < 0 ? 0 : v));
+        }
+    }
+    out_ratio[0] = float(double(nw) / double(dw));
+    out_ratio[1] = float(double(nh) / double(dh));
 }
 
 }  // extern "C"

@@ -135,16 +135,26 @@ class StreamProcessor:
         self.input_q.close()
 
     def _preproc(self):
-        import cv2
+        from . import native
 
         h, w = self.engine.input_hw
+        use_native = native.get_lib() is not None
         while True:
             try:
                 items = self.input_q.dump(8, timeout_ms=200)
             except EOFError:
                 break
             for idx, frame in items:
-                resized = cv2.resize(frame, (w, h))
+                if use_native:
+                    resized = np.empty((1, h, w, 3), np.uint8)
+                    if native.resize_into_batch(frame, resized, 0) is None:
+                        use_native = False
+                    else:
+                        resized = resized[0]
+                if not use_native:
+                    import cv2
+
+                    resized = cv2.resize(frame, (w, h))
                 self.resized_q.push((idx, frame, resized))
         self.resized_q.close()
 

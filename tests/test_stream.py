@@ -101,6 +101,39 @@ def test_engine_save_load_roundtrip(tmp_path):
     )
 
 
+def test_native_resize_matches_cv2():
+    """Native bilinear resize/letterbox agrees with the cv2 host path
+    within 1 LSB (reference analog: src/data.cpp:53-69 non_scaling_resize)."""
+    cv2 = pytest.importorskip("cv2")
+    from hyperpose_tpu.ops.image import letterbox_resize
+    from hyperpose_tpu.runtime.native import get_lib, resize_into_batch
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (97, 203, 3), np.uint8)
+    batch = np.zeros((2, 64, 48, 3), np.uint8)
+    # plain stretch resize
+    rx, ry = resize_into_batch(img, batch, 0)
+    assert (rx, ry) == (1.0, 1.0)
+    ref = cv2.resize(img, (48, 64))
+    assert np.abs(batch[0].astype(int) - ref.astype(int)).max() <= 1
+    # letterbox: placement, padding, and ratios match the python path
+    rx, ry = resize_into_batch(img, batch, 1, keep_ratio=True)
+    canvas, prx, pry = letterbox_resize(img, (64, 48))
+    assert np.abs(batch[1].astype(int) - canvas.astype(int)).max() <= 1
+    assert abs(rx - prx) < 1e-5 and abs(ry - pry) < 1e-5
+    # channel swap + upscale
+    up = np.zeros((1, 128, 256, 3), np.uint8)
+    resize_into_batch(img, up, 0, swap_rb=True)
+    refu = cv2.resize(img, (256, 128))[..., ::-1]
+    assert np.abs(up[0].astype(int) - refu.astype(int)).max() <= 1
+    # degenerate 1x1 source
+    one = np.full((1, 1, 3), 77, np.uint8)
+    resize_into_batch(one, up, 0)
+    assert (up[0] == 77).all()
+
+
 def test_native_batcher_copy():
     """Native uint8 batcher: exact copy + nearest resize."""
     import ctypes
