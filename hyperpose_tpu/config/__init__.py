@@ -97,6 +97,10 @@ class ModelConfig:
     lmd_size: float = 5.0
     lmd_limb: float = 0.5
     # Custom component hooks (reference: Config/__init__.py:512-535)
+    # model_arch: user-supplied callable (config) -> flax module replacing
+    # the built-in architectures (reference: Config/__init__.py:176-203
+    # set_model_arch; consumed at Model/__init__.py:44-46).
+    model_arch: Any = None
     custom_parts: Any = None
     custom_limbs: Any = None
     custom_augmentor: Any = None
@@ -345,6 +349,28 @@ def set_domainadapt_dataset(train_img_paths, scale_rate: int = 1) -> None:
     _set("data", "domainadapt_flag", True)
     _set("data", "domainadapt_train_img_paths", train_img_paths)
     _set("data", "domainadapt_scale_rate", scale_rate)
+
+
+def set_model_arch(model_arch) -> None:
+    """Replace the built-in architecture with a user-defined one.
+
+    `model_arch` is either a flax module instance or a callable
+    `(config) -> module`; the module must expose the same `apply`/`cal_loss`
+    surface as the built-in family it replaces
+    (reference: Config/__init__.py:176-203)."""
+    _set("model", "model_arch", model_arch)
+
+
+def set_multiple_dataset(multiple_dataset_configs) -> None:
+    """Train over a concatenation of datasets
+    (reference: Config/__init__.py:425-427)."""
+    _set("data", "dataset_type", DATA.MULTIPLE)
+    _set("data", "userdef_dataset", list(multiple_dataset_configs))
+
+
+def set_vis_interval(interval: int) -> None:
+    """(reference: Config/__init__.py:508-511)."""
+    _set("train", "vis_interval", interval)
 
 
 def set_custom_parts(parts) -> None:

@@ -73,6 +73,10 @@ def get_backbone(config: Config):
 def get_model(config: Config):
     """Construct the flax model for the configured type/backbone
     (reference: Model/__init__.py:24-142)."""
+    if config.model.model_arch is not None:
+        arch = config.model.model_arch
+        return arch(config) if callable(arch) and not hasattr(
+            arch, "apply") else arch
     mt = config.model.model_type
     dtype = _dtype_of(config)
     topo = get_topology(config)

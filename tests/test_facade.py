@@ -167,3 +167,41 @@ def test_custom_component_hooks():
     assert get_postprocessor(cfg) is sentinel_post
     assert get_visualizer(cfg) is sentinel_vis
     Config.reset()
+
+
+def test_set_model_arch_override():
+    """set_model_arch replaces the built-in architecture
+    (reference: Config/__init__.py:176-203, Model/__init__.py:44-46)."""
+    from hyperpose_tpu.models import get_model
+    from hyperpose_tpu.models.openpose import LightWeightOpenPose
+
+    Config.reset()
+    Config.set_model_type(Config.MODEL.Openpose)
+    seen = {}
+
+    def builder(cfg):
+        seen["n_pos"] = cfg.model.n_pos
+        return LightWeightOpenPose(n_confmaps=cfg.model.n_pos)
+
+    Config.set_model_arch(builder)
+    model = get_model(Config.get_config(create_dirs=False))
+    assert isinstance(model, LightWeightOpenPose)
+    assert seen["n_pos"] == 19
+    # passing a module instance directly also works
+    Config.reset()
+    inst = LightWeightOpenPose()
+    Config.set_model_arch(inst)
+    assert get_model(Config.get_config(create_dirs=False)) is inst
+    Config.reset()
+
+
+def test_set_multiple_dataset_and_vis_interval():
+    """(reference: Config/__init__.py:425-427,508-511)."""
+    Config.reset()
+    Config.set_model_type(Config.MODEL.LightweightOpenpose)
+    Config.set_multiple_dataset([])
+    Config.set_vis_interval(123)
+    cfg = Config.get_config(create_dirs=False)
+    assert cfg.data.dataset_type == Config.DATA.MULTIPLE
+    assert cfg.train.vis_interval == 123
+    Config.reset()
