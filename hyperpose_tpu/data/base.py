@@ -128,6 +128,11 @@ def get_dataset(config):
             d.useradd_train_img_paths,
             *_split_targets(d.useradd_train_targets),
         )))
+        # official_flag=False drops the official train split and trains on
+        # the user-added data alone (reference: base_dataset.py:67-180
+        # assembles train list from official_flag + useradd_flag).
+        if not d.official_flag:
+            return extra
         return MultiPoseDataset(
             config, [base, extra], scale_rates=[1, d.useradd_scale_rate]
         )

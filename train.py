@@ -28,7 +28,15 @@ def parse_args():
                         choices=[s.name for s in Config.SYNC])
     parser.add_argument("--optim_type", type=str, default="Adam",
                         choices=[o.name for o in Config.OPTIM])
-    parser.add_argument("--use_official_dataset", type=bool, default=True)
+    parser.add_argument(
+        "--use_official_dataset",
+        type=lambda s: s.lower() not in ("0", "false", "no", ""),
+        default=True,
+    )
+    parser.add_argument("--useradd_data_path", type=str, default=None,
+                        help="dir with images/ + anno.json of user-labeled "
+                        "data mixed into training (reference: "
+                        "train.py:54,97-113)")
     parser.add_argument("--domainadapt_data_path", type=str, default=None)
     parser.add_argument("--log_interval", type=int, default=None)
     parser.add_argument("--vis_interval", type=int, default=None)
@@ -54,6 +62,22 @@ def main():
     Config.set_optim_type(Config.OPTIM[args.optim_type])
     Config.set_official_dataset(args.use_official_dataset)
     Config.set_compute_dtype(args.compute_dtype)
+    if args.useradd_data_path:
+        import json
+
+        image_dir = os.path.join(args.useradd_data_path, "images")
+        with open(os.path.join(args.useradd_data_path, "anno.json")) as f:
+            anno_json = json.load(f)
+        paths, targets = [], []
+        for image_path, anno in anno_json["annotations"].items():
+            paths.append(os.path.join(image_dir, image_path))
+            targets.append({
+                "kpt": anno["keypoints"], "mask": None,
+                "bbx": anno["bbox"], "labeled": 1,
+            })
+        Config.set_useradd_data(paths, targets, scale_rate=1)
+    if args.vis_interval:
+        Config.set_vis_interval(args.vis_interval)
     if args.domainadapt_data_path:
         import glob
 
