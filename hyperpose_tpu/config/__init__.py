@@ -131,6 +131,11 @@ class TrainConfig:
     # TPU-specific: devices per data-parallel axis; 0 = all available.
     n_devices: int = 0
     spatial_parallel: int = 1
+    # Accumulate gradients over N micro-batches before each optimizer
+    # update (effective batch = batch_size * grad_accum_steps). TPU-native
+    # alternative to adding data-parallel workers when HBM bounds the
+    # per-step batch; no reference analog.
+    grad_accum_steps: int = 1
     # Weight of the adversarial domain-adaptation generator loss
     # (reference: Model/train.py:230-262 dmadapt g-loss term).
     lambda_adapt: float = 1.0
@@ -371,6 +376,13 @@ def set_multiple_dataset(multiple_dataset_configs) -> None:
 def set_vis_interval(interval: int) -> None:
     """(reference: Config/__init__.py:508-511)."""
     _set("train", "vis_interval", interval)
+
+
+def set_grad_accum_steps(steps: int) -> None:
+    """Gradient accumulation: optimizer updates apply every `steps`
+    micro-batches (TPU-native large-effective-batch knob; no reference
+    analog)."""
+    _set("train", "grad_accum_steps", int(steps))
 
 
 def set_custom_parts(parts) -> None:

@@ -53,10 +53,16 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     sched = staged_lr_schedule(cfg)
     kind = cfg.train.optim_type
     if kind == OPTIM.Adam:
-        return optax.adam(sched)
-    if kind == OPTIM.RMSprop:
-        return optax.rmsprop(sched)
-    return optax.sgd(sched)
+        opt = optax.adam(sched)
+    elif kind == OPTIM.RMSprop:
+        opt = optax.rmsprop(sched)
+    else:
+        opt = optax.sgd(sched)
+    if cfg.train.grad_accum_steps > 1:
+        # Every-k-step update: params stay fixed for k-1 micro-batches while
+        # grads average, giving effective batch = k * batch_size per chip.
+        opt = optax.MultiSteps(opt, cfg.train.grad_accum_steps)
+    return opt
 
 
 def l2_regularization(params, weight_decay: float) -> jnp.ndarray:

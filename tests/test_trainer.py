@@ -163,3 +163,38 @@ def test_trainer_visualization(tmp_path, tiny_config):
     pipe.stop()
     import glob
     assert glob.glob(str(tmp_path / "vis" / "*maps.png"))
+
+
+def test_trainer_grad_accum(tmp_path, tiny_config):
+    """grad_accum_steps=2: params frozen during accumulation micro-steps,
+    updated on every 2nd; effective batch doubles per optimizer update."""
+    import jax
+
+    from hyperpose_tpu.train.trainer import Trainer
+
+    tiny_config.train.grad_accum_steps = 2
+    tiny_config.train.save_interval = 100
+    records = synthetic_records(tmp_path)
+    aug = BasicAugmentor(hin=64, win=64, flip_list=COCO_FLIP_LIST)
+    model = LightWeightOpenPose()
+
+    trainer = Trainer(tiny_config, model, COCO_LIMBS)
+    pipe = TrainPipeline(
+        records, aug, batch_size=4, out_hw=(8, 8), max_people=5,
+        n_workers=2, loop=True,
+    )
+    # init_state is deterministic (PRNGKey(0)), so it doubles as the
+    # known starting point for both train() calls below (no ckpt saved).
+    p0, _, _ = trainer.init_state()
+    leaves0 = jax.tree.leaves(jax.device_get(p0))
+    p1, _ = trainer.train(pipe, n_step=1)
+    leaves1 = jax.tree.leaves(jax.device_get(p1))
+    # after 1 micro-step the MultiSteps wrapper has not applied an update
+    same = all(np.allclose(a, b) for a, b in zip(leaves0, leaves1))
+    assert same, "params changed during accumulation micro-step"
+    p2, _ = trainer.train(pipe, n_step=2)
+    leaves2 = jax.tree.leaves(jax.device_get(p2))
+    assert not all(
+        np.allclose(a, b) for a, b in zip(leaves0, leaves2)
+    ), "params did not update after a full accumulation cycle"
+    pipe.stop()
