@@ -62,16 +62,28 @@ def _per_part_nms(boxes, scores, valid, iou_thresh):
     p, k, _ = boxes.shape
     iou = jax.vmap(_iou_matrix)(boxes)                    # [P,K,K]
 
-    def body(i, keep):
-        # box i is kept iff valid and no kept earlier box overlaps >= thresh
-        earlier = jnp.arange(k) < i
-        sup = jnp.any(
-            keep & earlier[None, :] & (iou[:, i, :] >= iou_thresh), axis=-1
-        )
-        return keep.at[:, i].set(valid[:, i] & ~sup)
+    # Dense greedy fixpoint (same scheme as paf_decode._greedy_connections):
+    # box i is kept iff valid and no kept EARLIER box overlaps >= thresh.
+    # Each round is one [P,K,K] masked any; decision i is final by round i,
+    # and any stable round equals the round-K result, so exit early.
+    conflicts = (
+        jnp.arange(k)[None, :, None] > jnp.arange(k)[None, None, :]
+    ) & (iou >= iou_thresh)                               # [P, K(i), K(j<i)]
 
-    keep = jnp.zeros((p, k), bool).at[:, 0].set(valid[:, 0])
-    return lax.fori_loop(1, k, body, keep)
+    def cond(state):
+        i, _, changed = state
+        return (i < k) & changed
+
+    def body(state):
+        i, keep, _ = state
+        sup = jnp.any(conflicts & keep[:, None, :], axis=-1)
+        new = valid & ~sup
+        return i + 1, new, jnp.any(new != keep)
+
+    _, keep, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), valid, jnp.bool_(True))
+    )
+    return keep
 
 
 def _decode_one(predict: dict, cfg: PpnDecoderConfig, limbs: np.ndarray,
@@ -127,9 +139,10 @@ def _decode_one(predict: dict, cfg: PpnDecoderConfig, limbs: np.ndarray,
     )
 
     # Greedy global-max matching per limb (reference: processor.py:141-176):
-    # K rounds of (pick max, zero its row+column), vectorized over limbs.
-    def match_body(_, state):
-        m, dst_to_src = state
+    # up to K rounds of (pick max, zero its row+column), vectorized over
+    # limbs; exits as soon as no limb has a positive candidate left.
+    def match_body(state):
+        _i, m, dst_to_src = state
         flat = m.reshape(l, k * k)
         best = jnp.argmax(flat, axis=1)                   # [L]
         best_val = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
@@ -144,10 +157,16 @@ def _decode_one(predict: dict, cfg: PpnDecoderConfig, limbs: np.ndarray,
         col_mask = jnp.arange(k)[None, :] == bj[:, None]
         zero = row_mask[:, :, None] | col_mask[:, None, :]
         m = jnp.where(ok[:, None, None] & zero, 0.0, m)
-        return m, dst_to_src
+        return _i + 1, m, dst_to_src
+
+    def match_cond(state):
+        i, m, _ = state
+        return (i < k) & jnp.any(m > 0.0)
 
     dst_to_src0 = jnp.full((l, k), -1, jnp.int32)
-    _, dst_to_src = lax.fori_loop(0, k, match_body, (match, dst_to_src0))
+    _, _, dst_to_src = lax.while_loop(
+        match_cond, match_body, (jnp.int32(0), match, dst_to_src0)
+    )
 
     # Person-id propagation down the limb tree (reference:
     # processor.py:138-181): instance proposals seed ids; each limb copies
