@@ -11,7 +11,10 @@ Timing methodology: this environment's remote TPU tunnel does not honor
 block_until_ready, so N steps are chained inside ONE jit via a fori_loop
 whose carry feeds each iteration's output into the next input (no CSE, no
 overlap tricks), and the wall clock covers a scalar device->host fetch that
-semantically requires all N steps to have executed.
+semantically requires all N steps to have executed. The tunnel adds a fixed
+~24 ms RPC round-trip per execution (measured with a single-tiny-op loop at
+steps=20/100/400: constant total wall), so steps=100 keeps that dispatch
+tax under ~3% instead of silently billing it to the chip.
 """
 import json
 import os
@@ -47,7 +50,7 @@ def main():
     # batch, exactly like the reference's greedy max_batch_size batching
     # (reference: stream.hpp:338).
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "100"))
     hw = (368, 432)
     feat_hw = (hw[0] // 8, hw[1] // 8)
 

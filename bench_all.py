@@ -96,7 +96,7 @@ def fused_step(name, model):
     return step
 
 
-def bench_one(name, builder, hw, ref_fps, batch=8, steps=10):
+def bench_one(name, builder, hw, ref_fps, batch=8, steps=100):
     model = builder()
     v = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3), jnp.bfloat16),

@@ -34,7 +34,7 @@ PEAK_TFLOPS = 197.0
 PEAK_GBS = 819.0
 
 
-def bench_forward(model, hw, batch=8, steps=20):
+def bench_forward(model, hw, batch=8, steps=100):
     v = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3), jnp.bfloat16),
         train=False,

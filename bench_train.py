@@ -33,7 +33,7 @@ from hyperpose_tpu.utils.topology import COCO_LIMBS
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    steps = int(os.environ.get("BENCH_STEPS", "100"))
     hw, out_hw = (368, 432), (46, 54)
 
     model = LightWeightOpenPose(backbone=VggTiny, dtype=jnp.bfloat16)

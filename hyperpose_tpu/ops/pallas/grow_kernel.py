@@ -4,8 +4,10 @@ The growth phase dominates PifPaf decode latency: 8 Jacobi rounds, each a
 chain of ~60 small VPU ops (two find_connection evaluations over every
 directed edge, per-part segment max, commit) on tiny [MH, E, K] tensors.
 Under XLA each round costs ~1 ms in kernel launch + latency; fused here the
-whole growth — all humans, all rounds — is ONE kernel per image with every
-intermediate VMEM-resident.
+whole growth — all humans, all rounds — is ONE kernel invocation per block
+of images with every intermediate VMEM-resident. Processing several images
+per grid step (rank-4 [IB, MH, E, K] math) amortizes Mosaic's per-op
+overhead, which dominates at these tiny shapes.
 
 Semantics are identical to the XLA fallback `grow` in ops/pifpaf_decode.py
 (same 2-best blending, reverse-match check and first-index tie-breaks;
@@ -25,18 +27,19 @@ from jax import lax
 def _fc_batch(mx, my, ms, ox, oy, os_, qx, qy, qs):
     """Vectorized find_connection with 2-best blending.
 
-    mx/my/ms (match side) and ox/oy/os_ (output side): [E, K] candidate
-    tables; qx/qy/qs: [MH, E] query points. Returns fc/fx/fy/fs [MH, E].
-    Mirrors _find_connection (ops/pifpaf_decode.py) element-for-element.
+    mx/my/ms (match side) and ox/oy/os_ (output side): [IB, E, K] candidate
+    tables; qx/qy/qs: [IB, MH, E] query points. Returns fc/fx/fy/fs
+    [IB, MH, E]. Mirrors _find_connection (ops/pifpaf_decode.py)
+    element-for-element.
     """
     k = mx.shape[-1]
     sf = 2.0 * qs
     sg = jnp.maximum(0.25 * qs * qs, 1e-6)
-    dx = mx[None] - qx[..., None]                      # [MH, E, K]
-    dy = my[None] - qy[..., None]
+    dx = mx[:, None] - qx[..., None]                   # [IB, MH, E, K]
+    dy = my[:, None] - qy[..., None]
     near = (jnp.abs(dx) <= sf[..., None]) & (jnp.abs(dy) <= sf[..., None])
     d2 = dx * dx + dy * dy
-    w = jnp.where(near, jnp.exp(-0.5 * d2 / sg[..., None]) * ms[None], 0.0)
+    w = jnp.where(near, jnp.exp(-0.5 * d2 / sg[..., None]) * ms[:, None], 0.0)
 
     kiota = lax.broadcasted_iota(jnp.int32, w.shape, w.ndim - 1)
     s1 = jnp.max(w, axis=-1)
@@ -44,7 +47,7 @@ def _fc_batch(mx, my, ms, ox, oy, os_, qx, qy, qs):
     oh1 = kiota == i1[..., None]
 
     def gather1(t):
-        return jnp.sum(jnp.where(oh1, t[None], 0.0), axis=-1)
+        return jnp.sum(jnp.where(oh1, t[:, None], 0.0), axis=-1)
 
     o1x, o1y, o1s = gather1(ox), gather1(oy), gather1(os_)
 
@@ -54,7 +57,7 @@ def _fc_batch(mx, my, ms, ox, oy, os_, qx, qy, qs):
     oh2 = kiota == i2[..., None]
 
     def gather2(t):
-        return jnp.sum(jnp.where(oh2, t[None], 0.0), axis=-1)
+        return jnp.sum(jnp.where(oh2, t[:, None], 0.0), axis=-1)
 
     o2x, o2y, o2s = gather2(ox), gather2(oy), gather2(os_)
 
@@ -84,37 +87,42 @@ def _grow_kernel(
     score_out, x_out, y_out, sc_out,
     *, n_parts, growth_steps, reverse_match,
 ):
-    """One image: grow every seed's skeleton for `growth_steps` rounds."""
-    seed_part = seed_part_ref[0, 0]                    # [MH] int32
-    sv = seed_vals_ref[0]                              # [MH, 4] x/y/scale/score
-    mh = seed_part.shape[0]
+    """One block of IB images: grow every seed's skeleton for
+    `growth_steps` rounds."""
+    seed_part = seed_part_ref[:, 0]                    # [IB, MH] int32
+    sv = seed_vals_ref[...]                            # [IB, MH, 4]
+    ib, mh = seed_part.shape
 
-    em_x, em_y, em_s = em_x_ref[0], em_y_ref[0], em_s_ref[0]   # [E, K]
-    eo_x, eo_y, eo_s = eo_x_ref[0], eo_y_ref[0], eo_s_ref[0]
-    rm_x, rm_y, rm_s = rm_x_ref[0], rm_y_ref[0], rm_s_ref[0]
-    ro_x, ro_y, ro_s = ro_x_ref[0], ro_y_ref[0], ro_s_ref[0]
+    em_x, em_y, em_s = em_x_ref[...], em_y_ref[...], em_s_ref[...]
+    eo_x, eo_y, eo_s = eo_x_ref[...], eo_y_ref[...], eo_s_ref[...]
+    rm_x, rm_y, rm_s = rm_x_ref[...], rm_y_ref[...], rm_s_ref[...]
+    ro_x, ro_y, ro_s = ro_x_ref[...], ro_y_ref[...], ro_s_ref[...]
 
     src_oh_c = src_oh_ref[...]                         # [P, E]
     dst_oh_c = dst_oh_ref[...]                         # [P, E]
     e = src_oh_c.shape[1]
 
-    # Seed one-hot init: ann_* [MH, P].
-    piota = lax.broadcasted_iota(jnp.int32, (mh, n_parts), 1)
-    seed_oh = (piota == seed_part[:, None]).astype(jnp.float32)
-    ann_x = seed_oh * sv[:, 0:1]
-    ann_y = seed_oh * sv[:, 1:2]
-    ann_sc = seed_oh * sv[:, 2:3]
-    ann_score = seed_oh * sv[:, 3:4]
+    # Seed one-hot init: ann_* [IB, MH, P].
+    piota = lax.broadcasted_iota(jnp.int32, (ib, mh, n_parts), 2)
+    seed_oh = (piota == seed_part[..., None]).astype(jnp.float32)
+    ann_x = seed_oh * sv[..., 0:1]
+    ann_y = seed_oh * sv[..., 1:2]
+    ann_sc = seed_oh * sv[..., 2:3]
+    ann_score = seed_oh * sv[..., 3:4]
 
-    eiota = lax.broadcasted_iota(jnp.int32, (mh, e, n_parts), 1)
+    eiota = lax.broadcasted_iota(jnp.int32, (ib, mh, e, n_parts), 2)
+
+    def edge_gather(ann, oh):
+        # [IB, MH, P] x [P, E] -> [IB, MH, E]; 2-D dot keeps Mosaic happy.
+        return jnp.dot(ann.reshape(ib * mh, n_parts), oh).reshape(ib, mh, e)
 
     for _ in range(growth_steps):
         # Per-edge source/destination state via one-hot contractions (MXU).
-        src_score = jnp.dot(ann_score, src_oh_c)       # [MH, E]
-        dst_score = jnp.dot(ann_score, dst_oh_c)
-        qx = jnp.dot(ann_x, src_oh_c)
-        qy = jnp.dot(ann_y, src_oh_c)
-        qs = jnp.dot(ann_sc, src_oh_c)
+        src_score = edge_gather(ann_score, src_oh_c)   # [IB, MH, E]
+        dst_score = edge_gather(ann_score, dst_oh_c)
+        qx = edge_gather(ann_x, src_oh_c)
+        qy = edge_gather(ann_y, src_oh_c)
+        qs = edge_gather(ann_sc, src_oh_c)
 
         fc, fx, fy, fs = _fc_batch(
             em_x, em_y, em_s, eo_x, eo_y, eo_s, qx, qy, qs
@@ -133,16 +141,16 @@ def _grow_kernel(
 
         # Per-part best incoming edge (segment max + first-index tie-break).
         contrib = jnp.where(
-            dst_oh_c.T[None] > 0.0, merge[..., None], 0.0
-        )                                              # [MH, E, P]
-        best = jnp.max(contrib, axis=1)                # [MH, P]
+            dst_oh_c.T[None, None] > 0.0, merge[..., None], 0.0
+        )                                              # [IB, MH, E, P]
+        best = jnp.max(contrib, axis=2)                # [IB, MH, P]
         ibest = jnp.min(
-            jnp.where(contrib >= best[:, None, :], eiota, e), axis=1
+            jnp.where(contrib >= best[:, :, None, :], eiota, e), axis=2
         )
-        ohe = eiota == ibest[:, None, :]               # [MH, E, P]
+        ohe = eiota == ibest[:, :, None, :]            # [IB, MH, E, P]
 
         def commit(vals):
-            return jnp.sum(jnp.where(ohe, vals[..., None], 0.0), axis=1)
+            return jnp.sum(jnp.where(ohe, vals[..., None], 0.0), axis=2)
 
         do = best > 0.0
         ann_score = jnp.where(do, best, ann_score)
@@ -150,10 +158,23 @@ def _grow_kernel(
         ann_y = jnp.where(do, commit(fy), ann_y)
         ann_sc = jnp.where(do, commit(fs), ann_sc)
 
-    score_out[0] = ann_score
-    x_out[0] = ann_x
-    y_out[0] = ann_y
-    sc_out[0] = ann_sc
+    score_out[...] = ann_score
+    x_out[...] = ann_x
+    y_out[...] = ann_y
+    sc_out[...] = ann_sc
+
+
+def _images_per_block(b: int, e: int, k: int, mh: int) -> int:
+    """Largest divisor of b whose [IB, MH, E, K] working set keeps the
+    kernel comfortably inside ~16 MB VMEM (~15 live rank-4 temporaries)."""
+    budget = 6 * 1024 * 1024  # bytes for the rank-4 temporaries
+    per_image = mh * e * k * 4 * 15
+    cap = max(1, budget // max(per_image, 1))
+    ib = 1
+    for d in range(1, b + 1):
+        if b % d == 0 and d <= cap:
+            ib = d
+    return ib
 
 
 @functools.partial(
@@ -187,29 +208,31 @@ def fused_grow(
     dst_oh = np.zeros((n_parts, n_e), np.float32)
     dst_oh[np.asarray(e_dst), np.arange(n_e)] = 1.0
 
+    ib = _images_per_block(b, e, k, mh)
     kernel = functools.partial(
         _grow_kernel, n_parts=n_parts,
         growth_steps=growth_steps, reverse_match=reverse_match,
     )
     table_spec = pl.BlockSpec(
-        (1, e, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (ib, e, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     oh_spec = pl.BlockSpec(
         (n_parts, n_e), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     ann_spec = pl.BlockSpec(
-        (1, mh, n_parts), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (ib, mh, n_parts), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     ann_shape = jax.ShapeDtypeStruct((b, mh, n_parts), jnp.float32)
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // ib,),
         in_specs=[
-            # [B, 1, MH]: grid-indexed dim kept out of the (8, 128)-tiled
-            # trailing pair (mosaic block-shape rule).
-            pl.BlockSpec((1, 1, mh), lambda i: (i, 0, 0),
+            # [B, 1, MH]: the seed-part ints ride a rank-3 layout so the
+            # grid-blocked dim stays out of the (8, 128)-tiled trailing pair
+            # (mosaic block-shape rule).
+            pl.BlockSpec((ib, 1, mh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mh, 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((ib, mh, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [table_spec] * 12 + [oh_spec, oh_spec],
         out_specs=(ann_spec,) * 4,

@@ -123,6 +123,48 @@ def _find_connection(mx, my, mscore, mvalid, ox, oy, oscale, x, y, scale):
     return tuple(jnp.where(no_match, 0.0, v) for v in out)
 
 
+def _pairwise_rank(v):
+    """Position of each element in a stable DESCENDING sort of v, as a
+    pairwise count: rank_i = #{j: v_j > v_i} + #{j < i: v_j == v_i}.
+    Identical ordering/tie-breaks to jnp.argsort(-v) (stable), but one
+    vectorized [N, N] pass instead of a TPU sort lowering."""
+    idx = jnp.arange(v.shape[-1])
+    gt = v[..., None, :] > v[..., :, None]
+    eq_before = (v[..., None, :] == v[..., :, None]) & (
+        idx[None, :] < idx[:, None]
+    )
+    return jnp.sum(gt | eq_before, axis=-1).astype(jnp.int32)
+
+
+def _bounded_select(mask, fields, capacity: int):
+    """Bounded threshold selection without sorting.
+
+    Compacts the elements where `mask` is True into the first slots of a
+    fixed `capacity`-wide table, in raster order, dropping overflow. Exact
+    (same SET as a value top-k) whenever #True <= capacity, which holds for
+    real pose maps at the reference thresholds; in pathological dense maps
+    top-k keeps the strongest while this keeps the first — downstream
+    consumers are order-invariant (hr queries sum, match tables feed argmax,
+    seeds are re-sorted by score), so only that overflow case differs.
+
+    Replaces lax.top_k, whose TPU sort lowering costs ~1.3 ms/batch per call
+    here; the compaction is a cumsum + one slot-one-hot matmul on the MXU.
+
+    mask: [..., N] bool; fields: [..., N, F]. Returns [..., C, F] with
+    zeros in empty slots (slot c is filled iff c < row_count).
+    """
+    n = mask.shape[-1]
+    slot = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
+    slot = jnp.where(mask & (slot < capacity), slot, capacity)
+    onehot = (
+        slot[..., None] == jnp.arange(capacity, dtype=jnp.int32)
+    ).astype(fields.dtype)                                # [..., N, C]
+    return jnp.einsum(
+        "...nc,...nf->...cf", onehot, fields,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _prepare_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray):
     """Per-image seed selection + directed-edge candidate tables (everything
     the growth phase consumes). Returns a dict of fixed-shape arrays."""
@@ -135,14 +177,17 @@ def _prepare_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray):
 
     # ---- per-part hr contributors & pif candidates -------------------------
     conf_pn = pif_conf.reshape(n, p).T                   # [P, N]
-    cvals, cidx = lax.top_k(conf_pn, min(cfg.max_hr_contrib, n))  # [P, C]
-
-    def gpart(m, idx):
-        return jnp.take_along_axis(m.reshape(n, p).T, idx, axis=1)
-
-    cvx = gpart(pif_vec[..., 0], cidx)
-    cvy = gpart(pif_vec[..., 1], cidx)
-    csc = gpart(pif_scale, cidx)
+    pif_fields = jnp.stack([
+        conf_pn,
+        pif_vec[..., 0].reshape(n, p).T,
+        pif_vec[..., 1].reshape(n, p).T,
+        pif_scale.reshape(n, p).T,
+    ], axis=-1)                                          # [P, N, 4]
+    csel = _bounded_select(
+        conf_pn > cfg.thresh_gen_ref_pif, pif_fields,
+        min(cfg.max_hr_contrib, n),
+    )                                                    # [P, C, 4]
+    cvals, cvx, cvy, csc = (csel[..., i] for i in range(4))
     cvalid = cvals > cfg.thresh_gen_ref_pif
 
     def hr_at(part_onehot_idx, qx, qy):
@@ -155,40 +200,43 @@ def _prepare_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray):
         )
 
     # ---- seeds --------------------------------------------------------------
-    seed_conf = jnp.where(conf_pn > cfg.thresh_pif, conf_pn, _NEG)
     n_seeds = min(cfg.max_seeds, p * n)
-    svals, sidx = lax.top_k(seed_conf.reshape(-1), n_seeds)  # over [P*N]
-    seed_part = (sidx // n).astype(jnp.int32)
-    cell = sidx % n
-    take = lambda m: m.reshape(n, p).T.reshape(-1)[seed_part * n + cell]
-    seed_x = take(pif_vec[..., 0])
-    seed_y = take(pif_vec[..., 1])
-    seed_scale = take(pif_scale)
+    part_f = jnp.repeat(
+        jnp.arange(p, dtype=jnp.float32), n
+    )                                                    # [P*N] part index
+    seed_fields = jnp.concatenate(
+        [pif_fields.reshape(p * n, 4), part_f[:, None]], axis=-1
+    )
+    ssel = _bounded_select(
+        conf_pn.reshape(-1) > cfg.thresh_pif, seed_fields, n_seeds
+    )                                                    # [S, 5]
+    svals, seed_x, seed_y, seed_scale = (ssel[..., i] for i in range(4))
+    seed_part = ssel[..., 4].astype(jnp.int32)
     hr_s = hr_at(seed_part, seed_x, seed_y)
     seed_score = 0.9 * hr_s + 0.1 * jnp.maximum(svals, 0.0)
     seed_valid = (svals > cfg.thresh_pif) & (seed_score > cfg.thresh_ref_pif)
-    # process seeds best-first
-    order = jnp.argsort(-jnp.where(seed_valid, seed_score, _NEG))
-    seed_part = seed_part[order]
-    seed_x, seed_y = seed_x[order], seed_y[order]
-    seed_scale = seed_scale[order]
-    seed_score = seed_score[order]
-    seed_valid = seed_valid[order]
+    # Best-first order WITHOUT sorting: rank_i = position of seed i in a
+    # stable descending sort of (valid ? score : -inf) — computed as a
+    # pairwise count (sorts are the slow path on the TPU VPU; [S, S]
+    # comparisons are one vectorized pass).
+    masked = jnp.where(seed_valid, seed_score, _NEG)
+    seed_rank = _pairwise_rank(masked)
 
     # ---- paf candidates -> directed edge tables -----------------------------
     paf_conf = maps["paf_conf"]                           # [H, W, L]
     kc = min(cfg.max_paf_cands, n)
-    pvals, pidx = lax.top_k(paf_conf.reshape(n, l).T, kc)  # [L, Kc]
-
-    def glimb(m):
-        return jnp.take_along_axis(m.reshape(n, l).T, pidx, axis=1)
-
-    sx = glimb(maps["paf_src_vec"][..., 0])
-    sy = glimb(maps["paf_src_vec"][..., 1])
-    ss = glimb(maps["paf_src_scale"])
-    dx = glimb(maps["paf_dst_vec"][..., 0])
-    dy = glimb(maps["paf_dst_vec"][..., 1])
-    ds = glimb(maps["paf_dst_scale"])
+    conf_ln = paf_conf.reshape(n, l).T                    # [L, N]
+    paf_fields = jnp.stack([
+        conf_ln,
+        maps["paf_src_vec"][..., 0].reshape(n, l).T,
+        maps["paf_src_vec"][..., 1].reshape(n, l).T,
+        maps["paf_src_scale"].reshape(n, l).T,
+        maps["paf_dst_vec"][..., 0].reshape(n, l).T,
+        maps["paf_dst_vec"][..., 1].reshape(n, l).T,
+        maps["paf_dst_scale"].reshape(n, l).T,
+    ], axis=-1)                                           # [L, N, 7]
+    psel = _bounded_select(conf_ln > cfg.thresh_paf, paf_fields, kc)
+    pvals, sx, sy, ss, dx, dy, ds = (psel[..., i] for i in range(7))
     pvalid = pvals > cfg.thresh_paf
 
     src_parts = limbs[:, 0]
@@ -235,24 +283,30 @@ def _prepare_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray):
         same_part
         & (jnp.abs(seed_x[:, None] - seed_x[None, :]) <= occ_seed[None, :])
         & (jnp.abs(seed_y[:, None] - seed_y[None, :]) <= occ_seed[None, :])
-        & (jnp.arange(n_seeds)[:, None]
-           > jnp.arange(n_seeds)[None, :])           # suppressed by earlier
+        & (seed_rank[:, None] > seed_rank[None, :])  # suppressed by earlier
         & seed_valid[None, :]
     )
     seed_keep = seed_valid & ~jnp.any(near_seed, axis=1)
     pick_scores = jnp.where(seed_keep, seed_score, _NEG)
-    _, picks = lax.top_k(pick_scores, mh)             # [MH]
+    # Sort-free top-MH: re-rank the post-NMS scores, then gather rank r into
+    # slot r with a rank-one-hot matmul (ties break to the lower original
+    # index, matching lax.top_k).
+    pick_rank = _pairwise_rank(pick_scores)
+    pick_oh = (
+        pick_rank[None, :] == jnp.arange(mh, dtype=jnp.int32)[:, None]
+    ).astype(jnp.float32)                             # [MH, S]
+    picked = pick_oh @ jnp.stack([
+        ssel[..., 4], seed_x, seed_y, seed_scale, seed_score,
+        seed_keep.astype(jnp.float32),
+    ], axis=-1)                                       # [MH, 6]
 
     # Validity folded into the candidate score (w = exp * score, so a zero
     # score can never win a match) — one table fewer downstream.
     em_s = jnp.where(e_valid, e_score, 0.0)
     return {
-        "seed_part": jnp.take(seed_part, picks),
-        "seed_vals": jnp.stack([
-            jnp.take(seed_x, picks), jnp.take(seed_y, picks),
-            jnp.take(seed_scale, picks), jnp.take(seed_score, picks),
-        ], axis=-1),
-        "pick_valid": jnp.take(seed_keep, picks),
+        "seed_part": picked[:, 0].astype(jnp.int32),
+        "seed_vals": picked[:, 1:5],
+        "pick_valid": picked[:, 5] > 0.5,
         "tables": (em_x, em_y, em_s, eo_x, eo_y, eo_s),
     }
 
@@ -348,8 +402,7 @@ def _finalize_one(a_score, a_x, a_y, a_sc, pick_valid,
 
     # ---- keypoint-wise NMS (reference: processor.py:245-259) ----------------
     totals = jnp.sum(a_score, axis=1)                      # [MH]
-    rank = jnp.argsort(-totals)
-    inv_rank = jnp.argsort(rank)                           # position per ann
+    inv_rank = _pairwise_rank(totals)                      # position per ann
     occ_r = jnp.maximum(cfg.min_scale, a_sc)
     # ann i suppressed at part k by ann j if rank_j < rank_i and near.
     near = (
@@ -391,7 +444,10 @@ def _hr_query_rows(qx, qy, cx, cy, cconf, cscale, cvalid, divisor):
 def restore_maps(predict: dict, stride: int) -> dict:
     """Apply inference activations + coordinate restoration
     (reference: model.py infer + utils.py restore_pif_maps/restore_paf_maps).
-    predict fields are raw NHWC model outputs [B, H, W, F(,2)]."""
+    predict fields are raw NHWC model outputs [B, H, W, F(,2)]; cast to f32
+    up front — coordinate restore spans hundreds of px, beyond bf16
+    precision when the model runs in bf16."""
+    predict = {k: v.astype(jnp.float32) for k, v in predict.items()}
     pif_conf = jax.nn.sigmoid(predict["pif_conf"])
     paf_conf = jax.nn.sigmoid(predict["paf_conf"])
     b, h, w, _ = pif_conf.shape
