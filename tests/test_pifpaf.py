@@ -311,3 +311,60 @@ def test_grow_pallas_matches_xla_random():
             np.asarray(getattr(out_x, name)),
             np.asarray(getattr(out_p, name)), atol=1e-4, err_msg=name,
         )
+
+
+def test_bounded_select_matches_topk_set():
+    """Below capacity, _bounded_select keeps exactly the above-threshold
+    set that a value top-k would (order-free)."""
+    from hyperpose_tpu.ops.pifpaf_decode import _bounded_select
+
+    rng = np.random.default_rng(3)
+    vals = rng.random((5, 200)).astype(np.float32)
+    vals[vals < 0.9] = 0.0                      # ~20 survivors per row
+    fields = np.stack([vals, vals * 2.0 + 1.0], axis=-1)
+    out = np.asarray(
+        _bounded_select(jnp.asarray(vals) > 0.5, jnp.asarray(fields), 32)
+    )
+    for r in range(5):
+        want = sorted(vals[r][vals[r] > 0.5])
+        got = sorted(out[r, :, 0][out[r, :, 0] > 0.0])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # paired field rides along with its key
+        nz = out[r, :, 0] > 0
+        np.testing.assert_allclose(
+            out[r, nz, 1], out[r, nz, 0] * 2.0 + 1.0, rtol=1e-6
+        )
+        # empty slots zeroed
+        assert (out[r, ~nz] == 0).all()
+
+
+def test_bounded_select_overflow_keeps_first():
+    from hyperpose_tpu.ops.pifpaf_decode import _bounded_select
+
+    vals = np.arange(1, 11, dtype=np.float32)[None]       # all pass
+    out = np.asarray(
+        _bounded_select(jnp.asarray(vals) > 0, jnp.asarray(vals[..., None]), 4)
+    )
+    np.testing.assert_allclose(out[0, :, 0], [1, 2, 3, 4])
+
+
+def test_pairwise_rank_matches_stable_argsort():
+    from hyperpose_tpu.ops.pifpaf_decode import _pairwise_rank
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 5, size=50).astype(np.float32)    # many ties
+    rank = np.asarray(_pairwise_rank(jnp.asarray(v)))
+    order = np.argsort(-v, kind="stable")
+    inv = np.argsort(order, kind="stable")
+    np.testing.assert_array_equal(rank, inv)
+
+
+def test_decode_crowded_rank_nms():
+    """Four people exercise the rank-based seed NMS + keypoint NMS path."""
+    people = [
+        {i: (60 + 90 * j + 8 * (i % 4), 60 + 20 * (i // 4)) for i in range(17)}
+        for j in range(4)
+    ]
+    fields = synth_fields(people)
+    out = pifpaf_decode_batch(fields, PifPafDecoderConfig(), 8, (368, 432))
+    assert int(np.asarray(out.valid[0]).sum()) == 4
