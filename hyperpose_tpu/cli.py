@@ -46,6 +46,11 @@ def parse_args():
                    help="calibrate on the first N source frames and serve "
                         "int8 (reference analog: int8 TFLite export, "
                         "export_tflite.py:29-41)")
+    p.add_argument("--input_format", type=str, default="rgb8",
+                   choices=["rgb8", "yuv420"],
+                   help="device infeed format; yuv420 ships planar 4:2:0 "
+                        "frames (half the host->device bytes) and "
+                        "reconstructs RGB on-device")
     return p.parse_args()
 
 
@@ -77,6 +82,7 @@ def build_engine(args):
         model, variables, input_hw=(args.h, args.w),
         max_batch_size=args.max_batch_size, keep_ratio=args.keep_ratio,
         topology=Model.get_topology(cfg), fused_decode=fused,
+        input_format=getattr(args, "input_format", "rgb8"),
     )
     return engine, Model.get_topology(cfg)
 

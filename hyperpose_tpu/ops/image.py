@@ -90,3 +90,58 @@ def letterbox_resize(
     canvas = np.zeros((th, tw, image.shape[2]), dtype=image.dtype)
     canvas[:nh, :nw] = resized
     return canvas, nw / tw, nh / th
+
+
+def yuv420_to_rgb(yuv_u8: jax.Array) -> jax.Array:
+    """Planar I420 [B, H*3/2, W] uint8 -> RGB float32 [B, H, W, 3] in 0..255.
+
+    Device-side half of the compressed infeed path: the host ships video
+    frames as 4:2:0 YUV (1.5 bytes/px — half the bytes of RGB8) and the
+    chip reconstructs RGB fused into the normalize step. Matches
+    cv2.COLOR_YUV2RGB_I420 (video-range BT.601, nearest chroma upsample)
+    to within 0.5/255. The reference instead ships full BGR frames to the
+    GPU every batch (reference: src/data.cpp:21-51
+    nhwc_images_append_nchw_batch, src/tensorrt.cpp:364-434 H2D copy).
+    """
+    b, h15, w = yuv_u8.shape
+    h = (h15 * 2) // 3
+    if h % 2 or w % 2:
+        raise ValueError(f"I420 needs even H,W; got {h}x{w}")
+    f = yuv_u8.astype(jnp.float32)
+    y = f[:, :h, :]
+    u = f[:, h:h + h // 4, :].reshape(b, h // 2, w // 2)
+    v = f[:, h + h // 4:, :].reshape(b, h // 2, w // 2)
+    # Nearest 2x chroma upsample (matches cv2's I420 reconstruction).
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
+    yv = 1.164 * (y - 16.0)
+    r = yv + 1.596 * v
+    g = yv - 0.813 * v - 0.391 * u
+    bch = yv + 2.018 * u
+    return jnp.clip(jnp.stack([r, g, bch], axis=-1), 0.0, 255.0)
+
+
+def rgb_to_yuv420(rgb_u8: np.ndarray) -> np.ndarray:
+    """Host-side RGB [H,W,3] uint8 -> planar I420 [H*3/2, W] uint8 (cv2,
+    with a numpy fallback). The producer half of the compressed infeed."""
+    try:
+        import cv2
+
+        return cv2.cvtColor(rgb_u8, cv2.COLOR_RGB2YUV_I420)
+    except Exception:
+        h, w = rgb_u8.shape[:2]
+        f = rgb_u8.astype(np.float32)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.257 * r + 0.504 * g + 0.098 * b + 16.0
+        u = -0.148 * r - 0.291 * g + 0.439 * b + 128.0
+        v = 0.439 * r - 0.368 * g - 0.071 * b + 128.0
+        out = np.empty((h * 3 // 2, w), np.uint8)
+        out[:h] = np.clip(y + 0.5, 0, 255).astype(np.uint8)
+        # cv2 subsamples chroma at the top-left pixel of each 2x2 block.
+        u2 = u[0::2, 0::2]
+        v2 = v[0::2, 0::2]
+        out[h:h + h // 4] = np.clip(u2 + 0.5, 0, 255).astype(
+            np.uint8).reshape(h // 4, w)
+        out[h + h // 4:] = np.clip(v2 + 0.5, 0, 255).astype(
+            np.uint8).reshape(h // 4, w)
+        return out

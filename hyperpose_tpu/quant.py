@@ -116,6 +116,7 @@ def quantize_engine(engine, batches_u8: Iterable[Any], skip=None):
         max_batch_size=engine.max_batch_size, decoder=engine.decoder,
         topology=engine.topology, keep_ratio=engine.keep_ratio,
         fused_decode=engine.fused_decode, quant_scales=scales,
+        input_format=engine.input_format,
     )
 
 

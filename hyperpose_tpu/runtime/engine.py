@@ -58,6 +58,7 @@ class PoseEngine:
         keep_ratio: bool = False,
         fused_decode=None,
         quant_scales: dict[str, float] | None = None,
+        input_format: str = "rgb8",
     ):
         """fused_decode(variables, x_normalized) -> DecodedSkeletons
         overrides the default PAF-family path (PoseProposal / PifPaf).
@@ -66,7 +67,13 @@ class PoseEngine:
         .calibrate` — when given, every calibrated conv in the forward pass
         runs as int8 on the MXU (reference analog: the int8 TFLite export
         path, export_tflite.py:29-41, promoted here to a first-class serving
-        mode)."""
+        mode).
+
+        input_format: "rgb8" (uint8 [B,H,W,3]) or "yuv420" (planar I420
+        uint8 [B,H*3/2,W] — half the host->device bytes; the chip
+        reconstructs RGB fused into normalize, ops/image.yuv420_to_rgb).
+        The reference ships full BGR frames over PCIe every batch
+        (reference: src/tensorrt.cpp:364-434)."""
         self.model = model
         self.variables = jax.device_put(variables)
         self.input_hw = tuple(input_hw)
@@ -76,8 +83,32 @@ class PoseEngine:
         self.keep_ratio = keep_ratio
         self.fused_decode = fused_decode
         self.quant_scales = dict(quant_scales) if quant_scales else None
+        if input_format not in ("rgb8", "yuv420"):
+            raise ValueError(f"unknown input_format {input_format!r}")
+        if input_format == "yuv420" and (input_hw[0] % 4 or input_hw[1] % 2):
+            raise ValueError(
+                f"yuv420 infeed needs H%4==0 and W%2==0; got {input_hw}"
+            )
+        self.input_format = input_format
         self.stats = EngineStats()
         self._feat_hw: tuple[int, int] | None = None
+
+    def input_batch_shape(self, batch: int | None = None) -> tuple[int, ...]:
+        """Device-input array shape for this engine's format."""
+        b = self.max_batch_size if batch is None else batch
+        h, w = self.input_hw
+        if self.input_format == "yuv420":
+            return (b, h * 3 // 2, w)
+        return (b, h, w, 3)
+
+    def encode_input(self, rgb_u8: np.ndarray) -> np.ndarray:
+        """Host-side encode of one resized RGB frame into the engine's
+        infeed format (identity for rgb8, planar I420 for yuv420)."""
+        if self.input_format == "yuv420":
+            from ..ops.image import rgb_to_yuv420
+
+            return rgb_to_yuv420(rgb_u8)
+        return rgb_u8
 
     # -- device path ---------------------------------------------------------
 
@@ -97,19 +128,33 @@ class PoseEngine:
     @functools.cached_property
     def _step(self):
         model, dec, topo = self.model, self.decoder, self.topology
+        is_yuv = self.input_format == "yuv420"
+
+        def to_u8_rgb(images):
+            if not is_yuv:
+                return images
+            from ..ops.image import yuv420_to_rgb
+
+            return (yuv420_to_rgb(images) + 0.5).astype(jnp.uint8)
+
         if self.fused_decode is not None:
             fused = self.fused_decode
 
             @jax.jit
             def custom(variables, images_u8):
                 with self._quant_ctx():
-                    return fused(variables, images_u8)
+                    return fused(variables, to_u8_rgb(images_u8))
 
             return custom
 
         @jax.jit
         def step(variables, images_u8):
-            x = images_u8.astype(model.dtype) / 255.0
+            if is_yuv:
+                from ..ops.image import yuv420_to_rgb
+
+                x = (yuv420_to_rgb(images_u8) / 255.0).astype(model.dtype)
+            else:
+                x = images_u8.astype(model.dtype) / 255.0
             with self._quant_ctx():
                 out = model.apply(variables, x, train=False)
             conf = out["conf_map"].astype(jnp.float32)
@@ -162,8 +207,7 @@ class PoseEngine:
         """Compile the fused step; returns compile seconds
         (reference analog: engine build, src/tensorrt.cpp:121-223)."""
         t0 = time.perf_counter()
-        h, w = self.input_hw
-        dummy = jnp.zeros((self.max_batch_size, h, w, 3), jnp.uint8)
+        dummy = jnp.zeros(self.input_batch_shape(), jnp.uint8)
         out = self._step(self.variables, dummy)
         jax.block_until_ready(out.coords)
         self._out_mh = int(out.coords.shape[1])
@@ -175,7 +219,9 @@ class PoseEngine:
     _out_p: int = 0
 
     def infer_batch_device(self, images_u8) -> Any:
-        """Raw device decode of an already-batched uint8 [B,H,W,3] array."""
+        """Raw device decode of an already-batched uint8 array
+        (shape per `input_batch_shape()`: [B,H,W,3] rgb8 or [B,H*3/2,W]
+        yuv420)."""
         return self._step(self.variables, images_u8)
 
     # -- host path -----------------------------------------------------------
@@ -211,6 +257,11 @@ class PoseEngine:
                 else:
                     batch[i] = cv2.resize(img, (w, h))
                     ratios.append((1.0, 1.0))
+            if self.input_format == "yuv420":
+                enc = np.zeros(self.input_batch_shape(), np.uint8)
+                for i in range(n):
+                    enc[i] = self.encode_input(batch[i])
+                batch = enc
         t0 = time.perf_counter()
         with tracing.scope("engine/device_step"):
             decoded = self.infer_batch_device(jnp.asarray(batch))
@@ -238,8 +289,7 @@ class PoseEngine:
         (reference analog: dnn::tensorrt::save, src/tensorrt.cpp:463-471)."""
         from ..utils.export import export_npz, export_serialized
 
-        h, w = self.input_hw
-        example = jnp.zeros((self.max_batch_size, h, w, 3), jnp.uint8)
+        example = jnp.zeros(self.input_batch_shape(), jnp.uint8)
         variables = jax.device_get(self.variables)
         npz = export_npz(variables, path_prefix + ".npz")
         step = self._step

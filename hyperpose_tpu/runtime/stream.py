@@ -155,16 +155,25 @@ class StreamProcessor:
                     import cv2
 
                     resized = cv2.resize(frame, (w, h))
+                # Compressed infeed: ship 4:2:0 YUV (half the bytes) when
+                # the engine reconstructs RGB on-device.
+                encode = getattr(self.engine, "encode_input", None)
+                if encode is not None:
+                    resized = encode(resized)
                 self.resized_q.push((idx, frame, resized))
         self.resized_q.close()
 
     def _device_worker(self):
         bmax = self.engine.max_batch_size
-        h, w = self.engine.input_hw
         use_packed = hasattr(self.engine, "_step_packed")
 
         def dispatch(items):
-            batch_buf = np.zeros((bmax, h, w, 3), np.uint8)
+            shape_fn = getattr(self.engine, "input_batch_shape", None)
+            if shape_fn is not None:
+                batch_buf = np.zeros(shape_fn(), np.uint8)
+            else:
+                h, w = self.engine.input_hw
+                batch_buf = np.zeros((bmax, h, w, 3), np.uint8)
             for i, (_, _, resized) in enumerate(items):
                 batch_buf[i] = resized
             if use_packed:
