@@ -14,7 +14,9 @@ on-device, batched, inside one `jit`:
      1/16 the bandwidth, which matters on TPU where the decode is fused
      behind the conv net in one XLA program.
   2. line-integral scoring of all KxK peak pairs per limb, 10 samples,
-     gathered from the feature-res PAF planes
+     gathered from the feature-res PAF planes by a fused Pallas kernel on
+     TPU (ops/pallas/line_gather.py; one-hot MXU contraction in VMEM) with
+     a batched one-hot-einsum XLA fallback
                                       (replaces get_connection_candidates, paf.cpp:95-137)
   3. greedy connection NMS as a fori_loop over the top-T sorted candidates,
      vectorized over (batch, limb)    (replaces get_connections, paf.cpp:234-272)
@@ -70,7 +72,25 @@ class PafDecoderConfig:
     label_prop_iters: int = 18  # >= worst-case component diameter
                                 # (n_parts chain; verified against the
                                 # sequential golden model in tests)
-    use_pallas_peaks: bool = False  # fused Pallas peak kernel (TPU only)
+    use_pallas_peaks: bool = False  # legacy smooth+NMS-only kernel (slower
+                               # than the XLA front end on v5e — it round-
+                               # trips full maps through HBM; ablation only)
+    # Peak front-end backend. "auto" = XLA everywhere: the fully fused
+    # pallas kernel (ops/pallas/peak_kernel.fused_peak_topk — smooth+NMS+
+    # top-K+sub-pixel in one VMEM pass) measured 13.1 ms/batch-128 on v5e
+    # vs 2.3 ms for the XLA front end: its K unrolled masked-reduction
+    # rounds are VPU-bound, while XLA's argmax rounds stream from HBM at
+    # full bandwidth. Kept behind "pallas" for ablation.
+    peaks_backend: str = "auto"
+    gather_bf16: bool = True   # line-integral gather in bf16: selection
+                               # stays exact (one-hots are 0/1), sampled
+                               # PAF values round to bf16 (<0.4%; the net
+                               # computed them in bf16 anyway).
+    # Line-integral sample gather backend: "auto" = fused pallas kernel on
+    # TPU (ops/pallas/line_gather.py; the one-hot contraction runs in VMEM
+    # instead of materializing [L,2,M,W] in HBM — measured 6.4 ms/batch-128
+    # for the XLA lowering on v5e), XLA elsewhere; "pallas"/"xla" force one.
+    gather_backend: str = "auto"
 
     def replace(self, **kw) -> "PafDecoderConfig":
         return dataclasses.replace(self, **kw)
@@ -102,6 +122,15 @@ def find_peaks(
     """
     b, h, w, p = conf.shape
     k = min(cfg.max_peaks, h * w)
+    if cfg.peaks_backend == "pallas":
+        from .pallas.peak_kernel import fused_peak_topk
+
+        xy, raw, sval = fused_peak_topk(
+            conf, k, cfg.smooth_ksize, cfg.smooth_sigma, cfg.conf_thresh,
+            interpret=jax.default_backend() != "tpu",
+        )
+        valid = sval > _NEG * 0.5
+        return xy, jnp.where(valid, raw, 0.0), valid
     if cfg.use_pallas_peaks:
         from .pallas.peak_kernel import fused_peak_candidates
 
@@ -175,59 +204,82 @@ def find_peaks(
     return xy, jnp.where(valid, scores, 0.0), valid
 
 
+def _use_pallas_gather(cfg: PafDecoderConfig) -> bool:
+    if cfg.gather_backend == "pallas":
+        return True
+    if cfg.gather_backend == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _limb_pair_scores(
-    paf: jax.Array,            # [H, W, 2L]
-    peak_xy: jax.Array,        # [P, K, 2] float
-    peak_valid: jax.Array,     # [P, K]
+    paf: jax.Array,            # [B, H, W, 2L]
+    peak_xy: jax.Array,        # [B, P, K, 2] float
+    peak_valid: jax.Array,     # [B, P, K]
     limbs: np.ndarray,         # [L, 2]
     cfg: PafDecoderConfig,
 ) -> jax.Array:
-    """Line-integral score of every (peak_a, peak_b) pair for every limb.
+    """Line-integral score of every (peak_a, peak_b) pair for every limb,
+    batched over images.
 
-    Returns cand_score [L, K, K] with invalid pairs set to _NEG.
+    Returns cand_score [B, L, K, K] with invalid pairs set to _NEG.
     (reference: src/paf.cpp:66-137)
     """
-    h, w, _ = paf.shape
-    l, s, k = limbs.shape[0], cfg.n_samples, peak_xy.shape[1]
-    pa = peak_xy[limbs[:, 0]]                      # [L,K,2]
-    pb = peak_xy[limbs[:, 1]]
-    va = peak_valid[limbs[:, 0]]                   # [L,K]
-    vb = peak_valid[limbs[:, 1]]
+    b, h, w, _ = paf.shape
+    l, s, k = limbs.shape[0], cfg.n_samples, peak_xy.shape[2]
+    pa = peak_xy[:, limbs[:, 0]]                   # [B,L,K,2]
+    pb = peak_xy[:, limbs[:, 1]]
+    va = peak_valid[:, limbs[:, 0]]                # [B,L,K]
+    vb = peak_valid[:, limbs[:, 1]]
 
-    diff = pb[:, None, :, :] - pa[:, :, None, :]   # [L,K,K,2]
-    norm = jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # [L,K,K]
+    diff = pb[:, :, None, :, :] - pa[:, :, :, None, :]   # [B,L,K,K,2]
+    norm = jnp.sqrt(jnp.sum(diff * diff, axis=-1))       # [B,L,K,K]
     unit = diff / jnp.maximum(norm, 1e-12)[..., None]
 
     # Sample positions: round(pa + i/S * diff), i in [0, S)  (paf.cpp:77-91).
-    ts = (jnp.arange(s, dtype=jnp.float32) / s).reshape(1, 1, 1, s, 1)
-    loc = pa[:, :, None, None, :] + ts * diff[:, :, :, None, :]
+    ts = (jnp.arange(s, dtype=jnp.float32) / s).reshape(1, 1, 1, 1, s, 1)
+    loc = pa[:, :, :, None, None, :] + ts * diff[:, :, :, :, None, :]
     loc = jnp.floor(loc + 0.5).astype(jnp.int32)   # C++ int(v + 0.5)
     lx = jnp.clip(loc[..., 0], 0, w - 1)
     ly = jnp.clip(loc[..., 1], 0, h - 1)
-    # Sample lookup as one-hot contractions: TPU has no fast scattered
-    # gather, but the MXU eats one-hot matmuls. Row selection is a
-    # [M, H] x [H, W] matmul per (limb, component); column selection is a
-    # masked VPU reduction. Total ~8 GFLOP per batch-16 decode — noise on
-    # the MXU, vs ~17 ms for the equivalent element-gather lowering.
     m = k * k * s
-    rows_y = ly.reshape(l, m)                       # [L, M]
-    cols_x = lx.reshape(l, m)
-    paf_lhw = paf.reshape(h, w, l, 2).transpose(2, 3, 0, 1)  # [L, 2, H, W]
-    row_onehot = (
-        jnp.arange(h, dtype=jnp.int32)[None, None, :] == rows_y[:, :, None]
-    ).astype(paf.dtype)                             # [L, M, H]
-    rows = jnp.einsum(
-        "lmh,lchw->lcmw", row_onehot, paf_lhw,
-        preferred_element_type=jnp.float32,
-    )                                               # [L, 2, M, W]
-    col_onehot = (
-        jnp.arange(w, dtype=jnp.int32)[None, None, :] == cols_x[:, :, None]
-    ).astype(paf.dtype)                             # [L, M, W]
-    vals = jnp.einsum("lcmw,lmw->lcm", rows, col_onehot)
-    px = vals[:, 0].reshape(l, k, k, s)
-    py = vals[:, 1].reshape(l, k, k, s)
+    rows_y = ly.reshape(b, l, m)                   # [B, L, M]
+    cols_x = lx.reshape(b, l, m)
+    paf_planes = paf.reshape(b, h, w, l, 2).transpose(0, 3, 4, 1, 2)
+    if _use_pallas_gather(cfg):
+        # Fused VMEM gather kernel: one MXU one-hot contraction per
+        # (image, limb), nothing but planes+indices+results in HBM.
+        from .pallas.line_gather import fused_line_gather
 
-    dot = unit[..., 0:1] * px + unit[..., 1:2] * py  # [L,K,K,S]
+        vals = fused_line_gather(
+            paf_planes, rows_y, cols_x, bf16=cfg.gather_bf16,
+            # Forcing "pallas" off-TPU runs the kernel interpreted (tests).
+            interpret=jax.default_backend() != "tpu",
+        )                                          # [B, L, 2, M] f32
+    else:
+        # XLA fallback: the same lookup as one-hot contractions — TPU has
+        # no fast scattered gather, but the MXU eats one-hot matmuls; this
+        # lowering materializes the [B,L,2,M,W] intermediate in HBM.
+        gdt = jnp.bfloat16 if cfg.gather_bf16 else paf.dtype
+        planes = paf_planes.astype(gdt)            # [B, L, 2, H, W]
+        row_onehot = (
+            jnp.arange(h, dtype=jnp.int32) == rows_y[..., None]
+        ).astype(gdt)                              # [B, L, M, H]
+        rows = jnp.einsum(
+            "blmh,blchw->blcmw", row_onehot, planes,
+            preferred_element_type=gdt,
+        )                                          # [B, L, 2, M, W]
+        col_onehot = (
+            jnp.arange(w, dtype=jnp.int32) == cols_x[..., None]
+        ).astype(gdt)                              # [B, L, M, W]
+        vals = jnp.einsum(
+            "blcmw,blmw->blcm", rows, col_onehot,
+            preferred_element_type=jnp.float32,
+        )
+    px = vals[:, :, 0].reshape(b, l, k, k, s)
+    py = vals[:, :, 1].reshape(b, l, k, k, s)
+
+    dot = unit[..., 0:1] * px + unit[..., 1:2] * py  # [B,L,K,K,S]
     crit1 = jnp.sum(dot > cfg.paf_thresh, axis=-1)
     mean_score = jnp.sum(dot, axis=-1) / s
     # Length penalty: min(0, 0.5*H_feat/norm_up - 1) with norm in virtual
@@ -242,8 +294,8 @@ def _limb_pair_scores(
         (crit1 > cfg.crit1_thresh)
         & (crit2 > 0)
         & (norm > 1e-6)
-        & va[:, :, None]
-        & vb[:, None, :]
+        & va[:, :, :, None]
+        & vb[:, :, None, :]
     )
     return jnp.where(ok, crit2, _NEG)
 
@@ -325,9 +377,12 @@ def _assemble(
     # Dense adjacency over the (part, peak-slot) node space: two one-hot
     # outer-product scatters build A once; min-label propagation is then a
     # masked row-min — pure VPU work, no serialized scatters in the loop.
-    u_oh = jax.nn.one_hot(uf, n, dtype=jnp.float32)      # [E, N]
-    v_oh = jax.nn.one_hot(vf, n, dtype=jnp.float32)
-    ae = af.astype(jnp.float32)[:, None]
+    # The one-hots are 0/1 and the contractions accumulate exact integer
+    # counts in f32, so bf16 operands are exact and halve the HBM traffic
+    # of the two [E, N]-operand matmuls (the assembly stage's main cost).
+    u_oh = jax.nn.one_hot(uf, n, dtype=jnp.bfloat16)     # [E, N]
+    v_oh = jax.nn.one_hot(vf, n, dtype=jnp.bfloat16)
+    ae = af.astype(jnp.bfloat16)[:, None]
     adj = jnp.einsum(
         "en,em->nm", u_oh * ae, v_oh, preferred_element_type=jnp.float32
     ) > 0
@@ -361,20 +416,23 @@ def _assemble(
     # aggregation below becomes a matmul/masked reduction.
     comp_member = (
         (root_of[None, :] == labels0[:, None]) & in_edge[None, :]
-    ).astype(jnp.float32)                                # [R, N]
+    ).astype(jnp.bfloat16)                               # [R, N] 0/1
     edge_root = jnp.einsum(
         "en,rn->er", u_oh, comp_member, preferred_element_type=jnp.float32
     )                                                    # [E, R] 0/1
     conn_sum = jnp.einsum("er,e->r", edge_root, sf)
 
     part_of_node = jnp.repeat(jnp.arange(p, dtype=jnp.int32), k)
-    part_oh = jax.nn.one_hot(part_of_node, p, dtype=jnp.float32)  # [N, P]
+    part_oh = jax.nn.one_hot(part_of_node, p, dtype=jnp.bfloat16)  # [N, P]
     presence = jnp.einsum(
         "rn,np->rp", comp_member, part_oh, preferred_element_type=jnp.float32
     ) > 0
     n_parts_comp = jnp.sum(presence, axis=-1)
     pscore_flat = peak_score.reshape(n)
-    peak_sum = jnp.einsum("rn,n->r", comp_member, pscore_flat)
+    # Scores stay f32: comp_member is an exact 0/1 mask in any dtype.
+    peak_sum = jnp.einsum(
+        "rn,n->r", comp_member.astype(jnp.float32), pscore_flat
+    )
     comp_score = peak_sum + conn_sum
 
     is_root = (labels == labels0) & in_edge
@@ -429,14 +487,17 @@ def paf_decode_batch(
     # lowering with no device round-trip (important under remote backends).
     limbs = np.asarray(topology.limbs)
 
-    def decode_one(paf_i, pxy, pscore, pvalid):
-        cand = _limb_pair_scores(paf_i, pxy, pvalid, limbs, cfg)
-        src, dst, cscore, accepted = _greedy_connections(cand, cfg)
+    # Pair scoring runs batched (its gather kernel grids over (image, limb));
+    # the per-image greedy NMS + assembly stages are vmapped over it.
+    cand = _limb_pair_scores(paf, peak_xy, peak_valid, limbs, cfg)
+
+    def decode_one(cand_i, pxy, pscore):
+        src, dst, cscore, accepted = _greedy_connections(cand_i, cfg)
         return _assemble(
             src, dst, cscore, accepted, pxy, pscore, limbs, (h, w), cfg
         )
 
     coords, part_scores, part_valid, scores, valid = jax.vmap(decode_one)(
-        paf, peak_xy, peak_score, peak_valid
+        cand, peak_xy, peak_score
     )
     return DecodedSkeletons(coords, part_scores, part_valid, scores, valid)
