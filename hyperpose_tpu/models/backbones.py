@@ -40,8 +40,12 @@ class ConvBN(nn.Module):
             kernel_dilation=self.dilation, padding="SAME",
             use_bias=self.use_bias, dtype=self.dtype, name="conv",
         )(x)
+        # use_fast_variance=False everywhere: the E[x^2]-E[x]^2 form loses
+        # ~1e-3 relative precision under sharded batch reductions (and worse
+        # in bf16), which breaks sharded-vs-single-device parity checks.
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=self.momentum,
+            use_running_average=not train, use_fast_variance=False,
+            momentum=self.momentum,
             epsilon=self.epsilon, dtype=self.dtype, name="bn",
         )(x)
         if self.act is not None:
@@ -86,7 +90,7 @@ class SeparableBlock(nn.Module):
             name="dw",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=self.momentum,
+            use_running_average=not train, use_fast_variance=False, momentum=self.momentum,
             dtype=self.dtype, name="bn1",
         )(x)
         x = self.act(x)
@@ -94,7 +98,7 @@ class SeparableBlock(nn.Module):
             self.features, (1, 1), use_bias=False, dtype=self.dtype, name="pw",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=self.momentum,
+            use_running_average=not train, use_fast_variance=False, momentum=self.momentum,
             dtype=self.dtype, name="bn2",
         )(x)
         return self.act(x)
@@ -316,16 +320,16 @@ class InvertedResidual(nn.Module):
         if self.exp_ratio != 1:
             y = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
                         name="expand")(y)
-            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+            y = nn.BatchNorm(use_running_average=not train, use_fast_variance=False, dtype=self.dtype,
                              name="bn0")(y)
             y = nn.relu6(y)
         y = DepthwiseConv(strides=self.strides, dtype=self.dtype, name="dw")(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+        y = nn.BatchNorm(use_running_average=not train, use_fast_variance=False, dtype=self.dtype,
                          name="bn1")(y)
         y = nn.relu6(y)
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project")(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+        y = nn.BatchNorm(use_running_average=not train, use_fast_variance=False, dtype=self.dtype,
                          name="bn2")(y)
         return x + y if identity else y
 

@@ -239,7 +239,7 @@ class _SepBNBlock(nn.Module):
         x = DepthwiseConv(kernel=self.kernel, dtype=self.dtype, name="dw")(x)
         x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="pw")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.999,
+        x = nn.BatchNorm(use_running_average=not train, use_fast_variance=False, momentum=0.999,
                          dtype=self.dtype, name="bn")(x)
         if self.act is not None:
             x = self.act(x)

@@ -18,19 +18,17 @@ from jax.sharding import Mesh
 from .mesh import batch_sharding, replicated
 
 
-def make_sharded_train_step(
+def make_step_body(
     model,
     loss_fn: Callable[..., tuple[jnp.ndarray, dict]],
     optimizer: optax.GradientTransformation,
-    mesh: Mesh,
 ) -> Callable:
-    """Build a jitted data-parallel train step.
+    """The pure (unsharded) train-step function.
 
-    loss_fn(predict, batch) -> (loss, metrics dict). The model must accept
-    (variables, images, train=True, mutable=["batch_stats"]).
+    Exposed separately so correctness checks (e.g. __graft_entry__'s
+    dryrun_multichip) can run the IDENTICAL math single-device and compare
+    against the GSPMD-sharded execution.
     """
-    rep = replicated(mesh)
-    bsh = batch_sharding(mesh)
 
     def step(params, batch_stats, opt_state, images, targets):
         def loss_wrapped(p):
@@ -49,12 +47,30 @@ def make_sharded_train_step(
         metrics = dict(metrics, total_loss=loss)
         return params, new_stats, opt_state, metrics
 
+    return step
+
+
+def make_sharded_train_step(
+    model,
+    loss_fn: Callable[..., tuple[jnp.ndarray, dict]],
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    donate: bool = True,
+) -> Callable:
+    """Build a jitted data-parallel train step.
+
+    loss_fn(predict, batch) -> (loss, metrics dict). The model must accept
+    (variables, images, train=True, mutable=["batch_stats"]).
+    """
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    step = make_step_body(model, loss_fn, optimizer)
     in_shardings = (rep, rep, rep, bsh, bsh)
     return jax.jit(
         step,
         in_shardings=in_shardings,
         out_shardings=(rep, rep, rep, rep),
-        donate_argnums=(0, 1, 2),
+        donate_argnums=(0, 1, 2) if donate else (),
     )
 
 
