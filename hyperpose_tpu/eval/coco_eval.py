@@ -5,7 +5,15 @@ Implements the COCOeval 'keypoints' protocol the reference relies on
 pycocotools COCOeval.summarize): per-image greedy matching by OKS at 10
 thresholds 0.50:0.95, 101-point interpolated precision, maxDets=20, area
 ranges all/medium/large; ground truth restricted to the predicted image set
-(official_eval behavior).
+(official_eval behavior). Validated against hand-derived cocoapi semantics
+in tests/test_coco_eval_adversarial.py (greedy score-order matching,
+equal-OKS later-gt-wins, crowd multi-match, num_keypoints==0 ignores,
+maxDets truncation, inclusive area boundaries, unmatched out-of-range dt
+ignores, stable score-tie ordering, 101-pt interpolation).
+
+Intentional divergences from pycocotools:
+  - metrics with no valid ground truth return NaN (cocoapi returns -1)
+  - no 'small' area range (cocoapi keypoints summarize also omits it)
 """
 from __future__ import annotations
 
@@ -34,7 +42,7 @@ def compute_oks(
 
     dt_kpts/gt_kpts: [17*3] flat triples. Matches cocoapi computeOks.
     """
-    sigmas = COCO_SIGMAS
+    sigmas = COCO_SIGMAS.astype(np.float64)  # cocoapi computes OKS in f64
     vars_ = (2 * sigmas) ** 2
     xg, yg, vg = gt_kpts[0::3], gt_kpts[1::3], gt_kpts[2::3]
     xd, yd = dt_kpts[0::3], dt_kpts[1::3]
@@ -117,6 +125,14 @@ class CocoKeypointEval:
         # Sort gts: non-ignored first (cocoapi sorts by _ignore).
         gts = sorted(gts, key=lambda g: g["_ignore"])
         dts = sorted(dts, key=lambda d: -d["score"])[:MAX_DETS]
+        # Detection area = tight bbox over ALL keypoint xy (cocoapi loadRes
+        # sets this for keypoint results); used for the unmatched-outside-
+        # range ignore below.
+        dt_area = np.zeros(len(dts))
+        for di, d in enumerate(dts):
+            k = np.asarray(d["keypoints"], np.float64)
+            xs, ys = k[0::3], k[1::3]
+            dt_area[di] = (xs.max() - xs.min()) * (ys.max() - ys.min())
 
         n_t = len(OKS_THRESHOLDS)
         gtm = np.zeros((n_t, len(gts)), dtype=np.int64) - 1
@@ -153,6 +169,10 @@ class CocoKeypointEval:
                         dtm[ti, di] = best_gi
                         gtm[ti, best_gi] = di
                         dt_ignore[ti, di] = gt_ignore[best_gi]
+        # cocoapi evaluateImg: unmatched detections whose (kpt-bbox) area is
+        # outside the range are ignored rather than counted as FPs.
+        outside = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
+        dt_ignore = dt_ignore | ((dtm < 0) & outside[None, :])
         scores = np.array([d["score"] for d in dts], np.float64)
         return {
             "dtm": dtm, "dt_ignore": dt_ignore, "scores": scores,

@@ -1,9 +1,25 @@
-"""MPII PCKh@0.5 evaluation.
+"""MPII PCKh evaluation — exact protocol parity with the reference.
 
-(reference: hyperpose/Dataset/mpii_dataset/dataset.py:102+ implements the
-official PCKh metric in-house.) A predicted keypoint is correct when its
-distance to the ground truth is below 0.5 * head-segment length (the
-standard uses 0.6 * head-box diagonal as the reference length, SC_BIAS).
+Implements the reference's in-house PCKh metric
+(reference: hyperpose/Dataset/mpii_dataset/dataset.py:102-236) exactly:
+
+  - predictions are matched to ground truths PER IMAGE, prediction-major in
+    descending score order; each prediction greedily takes the unmatched gt
+    with the smallest visibility-weighted mean joint distance, where the
+    distance masks pelvis/thorax (parts 6:8) and divides by the TOTAL
+    visible-joint count (dataset.py:159-180)
+  - unmatched gts contribute all-zero predictions (dataset.py:186-191)
+  - head size = ||(w, h)|| of the head box — the box DIAGONAL, with NO
+    0.6 SC_BIAS factor (dataset.py:202-203)
+  - per-joint PCKh = 100 * #(dist <= thresh over ALL matched columns)
+    / #visible — prediction visibility is not consulted and hits on
+    invisible gt joints still count in the numerator (dataset.py:204-206,
+    a quirk preserved for score parity)
+  - "Mean" weights joints by their visibility frequency with pelvis/thorax
+    masked; "Mean@0.1" averages thresholds 0.1..0.5 (dataset.py:207-229)
+
+Validated against a sequential transcription oracle and analytic fixtures
+in tests/test_mpii_eval.py.
 """
 from __future__ import annotations
 
@@ -11,14 +27,50 @@ from collections import defaultdict
 
 import numpy as np
 
-SC_BIAS = 0.6
 PCKH_THRESH = 0.5
+MASKED_PARTS = slice(6, 8)  # pelvis, thorax — excluded from matching + Mean
 
 MPII_PART_NAMES = [
     "rankle", "rknee", "rhip", "lhip", "lknee", "lankle", "pelvis",
     "thorax", "upperneck", "headtop", "rwrist", "relbow", "rshoulder",
     "lshoulder", "lelbow", "lwrist",
 ]
+# reference MpiiPart enum values (mpii_dataset/define.py:4-20)
+HEADTOP, UPPERNECK = 9, 8
+PAIR_GROUPS = {
+    "Shoulder": (12, 13), "Elbow": (11, 14), "Wrist": (10, 15),
+    "Hip": (2, 3), "Knee": (1, 4), "Ankle": (0, 5),
+}
+
+
+def _match_image(preds: list[np.ndarray], gt_kpts: np.ndarray) -> np.ndarray:
+    """Greedy prediction-major matching (reference dataset.py:159-185).
+
+    preds: list of [16, 3] arrays already sorted by descending score.
+    gt_kpts: [M, 16, 3]. Returns match_pd_ids [M] (-1 = unmatched).
+    """
+    m = gt_kpts.shape[0]
+    match_pd_ids = np.full(m, -1, np.int64)
+    vis_mask = np.ones(16)
+    vis_mask[MASKED_PARTS] = 0
+    for pi, pk in enumerate(preds):
+        best_gt, best_dist = -1, np.inf
+        for gi in range(m):
+            if match_pd_ids[gi] != -1:
+                continue
+            gv = (gt_kpts[gi, :, 2] > 0).astype(np.float64)
+            vis_num = gv.sum()
+            if vis_num == 0:
+                continue
+            d = np.linalg.norm(
+                (pk[:, :2] - gt_kpts[gi, :, :2])
+                * (gv * vis_mask)[:, None], axis=-1,
+            ).sum() / vis_num
+            if d < best_dist:
+                best_dist, best_gt = d, gi
+        if best_gt != -1:
+            match_pd_ids[best_gt] = pi
+    return match_pd_ids
 
 
 def pckh_eval(
@@ -27,53 +79,79 @@ def pckh_eval(
     thresh: float = PCKH_THRESH,
 ) -> dict[str, float]:
     """pd_annotations: [{image_id, keypoints (16*3 native order), score}].
-    gt: image_id -> (kpts [M, 16, 3], head_boxes [M, 4] x1y1x2y2)."""
-    preds_by_img: dict[int, list[np.ndarray]] = defaultdict(list)
+    gt: image_id -> (kpts [M, 16, 3], head_boxes [M, 4] x1y1x2y2).
+
+    Returns the reference's result dict (Head/Shoulder/.../Mean/Mean@0.1 on
+    a 0-100 scale) plus per-part `PCKh_<name>` and a 0-1 `PCKh` alias of
+    Mean for programmatic use.
+    """
+    preds_by_img: dict[int, list[tuple[float, np.ndarray]]] = defaultdict(list)
     for ann in pd_annotations:
-        preds_by_img[ann["image_id"]].append(
-            np.asarray(ann["keypoints"], np.float32).reshape(16, 3)
-        )
+        preds_by_img[ann["image_id"]].append((
+            float(ann["score"]),
+            np.asarray(ann["keypoints"], np.float64).reshape(16, 3),
+        ))
 
-    correct = np.zeros(16)
-    total = np.zeros(16)
-    for image_id, (gt_kpts, head_boxes) in gt.items():
-        preds = preds_by_img.get(image_id, [])
-        used = set()
-        for gk, hb in zip(gt_kpts, head_boxes):
-            head_size = SC_BIAS * np.linalg.norm(hb[2:4] - hb[0:2])
-            if head_size < 1e-3:
-                continue
-            vis = gk[:, 2] > 0
-            if not vis.any():
-                continue
-            # match prediction by mean visible-joint distance
-            best, best_d = None, np.inf
-            for pi, pk in enumerate(preds):
-                if pi in used:
-                    continue
-                pv = pk[:, 2] > 0
-                both = vis & pv
-                if not both.any():
-                    continue
-                d = np.mean(np.linalg.norm(
-                    pk[both, :2] - gk[both, :2], axis=-1
-                ))
-                if d < best_d:
-                    best, best_d = pi, d
-            if best is None:
-                total += vis
-                continue
-            used.add(best)
-            pk = preds[best]
-            dist = np.linalg.norm(pk[:, :2] - gk[:, :2], axis=-1) / head_size
-            hit = (dist <= thresh) & (pk[:, 2] > 0)
-            correct += vis & hit
-            total += vis
+    all_pd, all_gt, all_vis, all_headsize = [], [], [], []
+    # evaluate only over predicted images (reference dataset.py:149-158)
+    for image_id in preds_by_img:
+        if image_id not in gt:
+            continue
+        gt_kpts, head_boxes = gt[image_id]
+        gt_kpts = np.asarray(gt_kpts, np.float64)
+        head_boxes = np.asarray(head_boxes, np.float64)
+        order = np.argsort([-s for s, _ in preds_by_img[image_id]],
+                           kind="stable")
+        preds = [preds_by_img[image_id][i][1] for i in order]
+        match_pd_ids = _match_image(preds, gt_kpts)
+        for gi in range(gt_kpts.shape[0]):
+            all_gt.append(gt_kpts[gi, :, :2])
+            all_vis.append((gt_kpts[gi, :, 2] > 0).astype(np.float64))
+            all_headsize.append(
+                np.linalg.norm(head_boxes[gi, 2:4] - head_boxes[gi, 0:2])
+            )
+            pi = match_pd_ids[gi]
+            all_pd.append(preds[pi][:, :2] if pi != -1 else np.zeros((16, 2)))
 
-    per_part = np.where(total > 0, correct / np.maximum(total, 1), np.nan)
+    nan = float("nan")
+    if not all_gt:
+        out = {k: nan for k in
+               ["Head", "Shoulder", "Elbow", "Wrist", "Hip", "Knee",
+                "Ankle", "Mean", "Mean@0.1", "PCKh"]}
+        out.update({f"PCKh_{n}": nan for n in MPII_PART_NAMES})
+        return out
+
+    pd_k = np.stack(all_pd)          # [N, 16, 2]
+    gt_k = np.stack(all_gt)          # [N, 16, 2]
+    vis = np.stack(all_vis)          # [N, 16]
+    headsize = np.asarray(all_headsize)  # [N]
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dist = np.linalg.norm(pd_k - gt_k, axis=-1) / headsize[:, None]
+    jnt_vis_num = vis.sum(axis=0)    # [16]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pckh = 100.0 * np.nansum(
+            (dist <= thresh).astype(np.float64), axis=0) / jnt_vis_num
+        rng = np.arange(0.0, thresh + 0.1, 0.1)
+        pck_all = np.stack([
+            100.0 * (dist <= t).sum(axis=0) / jnt_vis_num for t in rng
+        ])
+
+    joint_mask = np.ones(16, bool)
+    joint_mask[MASKED_PARTS] = False
+    counted = jnt_vis_num * joint_mask
+    jnt_ratio = counted / max(counted.sum(), np.spacing(1))
+    mean = float(np.nansum(pckh * jnt_ratio))
+    mean_01 = float(np.mean(np.nansum(pck_all[1:] * jnt_ratio, axis=1)))
+
     results = {
-        f"PCKh_{name}": float(per_part[i])
-        for i, name in enumerate(MPII_PART_NAMES)
+        "Head": float(pckh[HEADTOP]),
+        "Mean": mean,
+        "Mean@0.1": mean_01,
+        "PCKh": mean / 100.0,
     }
-    results["PCKh"] = float(np.nanmean(per_part))
+    for name, (a, b) in PAIR_GROUPS.items():
+        results[name] = float(0.5 * (pckh[a] + pckh[b]))
+    for i, name in enumerate(MPII_PART_NAMES):
+        results[f"PCKh_{name}"] = float(pckh[i]) / 100.0
     return results

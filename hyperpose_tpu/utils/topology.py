@@ -179,7 +179,9 @@ COCO_SIGMAS = np.array(
         0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
         0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089,
     ],
-    dtype=np.float32,
+    # float64: OKS evaluation must reproduce cocoapi bit-for-bit; f32
+    # consumers (target generation) downcast at the point of use.
+    dtype=np.float64,
 )
 
 
