@@ -39,13 +39,16 @@ CHAIN_TOPOLOGY = Topology(
 )
 
 # Keypoints sit near feature-cell centers (input px ~ 8*cell + 3.5) so the
-# expected decode is unambiguous; limbs span ~5 cells each. The scale is
+# expected decode is unambiguous; limbs span 4-8 cells each. The scale is
 # 16x16 feature cells: the conf generator's half-stride grid offset vs the
 # paf generator's plain kpt/stride convention (both inherited from the
 # reference, openpose/utils.py:65 vs :169) is a ~0.4-cell shift that only
-# washes out with limbs several cells long.
+# washes out with limbs several cells long. Limbs are AXIS-ALIGNED: at this
+# resolution the 10 rounded line-integral samples of a diagonal limb fall
+# off the 1-cell PAF ridge often enough that crit2 sits within noise of its
+# threshold — the margin must not depend on training jitter.
 GT_KPTS = np.array(
-    [[27.5, 27.5], [67.5, 27.5], [91.5, 59.5], [67.5, 91.5], [27.5, 91.5]],
+    [[27.5, 27.5], [91.5, 27.5], [91.5, 67.5], [59.5, 67.5], [59.5, 107.5]],
     np.float32,
 )
 
@@ -124,7 +127,10 @@ def test_training_learns_decodable_poses():
         params, stats, opt_state, loss = step(params, stats, opt_state)
         if first_loss is None:
             first_loss = float(loss)
-        if float(loss) < 0.02 * first_loss and i >= 50:
+        # Sharp maps matter as much as low loss: the decoder's crit2 margin
+        # needs the PAF ridge close to saturation, so train past the point
+        # where the loss merely "converged".
+        if float(loss) < 0.004 * first_loss and i >= 150:
             break
     assert float(loss) < 0.1 * first_loss, (
         f"training did not converge: {first_loss:.4f} -> {float(loss):.4f}"
