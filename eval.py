@@ -27,6 +27,11 @@ def parse_args():
     parser.add_argument("--weights", type=str, default=None,
                         help="npz weights path; defaults to "
                              "<model_dir>/newest_model.npz")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="evaluate on the deterministic synthetic "
+                             "multi-person benchmark (generated under "
+                             "--dataset_path when missing; see ACCURACY.md)")
+    parser.add_argument("--synthetic_seed", type=int, default=0)
     return parser.parse_args()
 
 
@@ -37,6 +42,12 @@ def main():
     Config.set_model_backbone(Config.BACKBONE[args.model_backbone])
     Config.set_dataset_type(Config.DATA[args.dataset_type])
     Config.set_dataset_version(args.dataset_version)
+    if args.synthetic:
+        from hyperpose_tpu.data.synthetic import ensure_synthetic_dataset
+
+        args.dataset_path = ensure_synthetic_dataset(
+            args.dataset_path, seed=args.synthetic_seed
+        )
     Config.set_dataset_path(args.dataset_path)
     config = Config.get_config()
     config.eval.multiscale = args.multiscale

@@ -373,3 +373,26 @@ def generate_synthetic_coco(
         with open(os.path.join(root, "mpii", "mpii_annotations.json"), "w") as f:
             json.dump(mpii_entries, f)
     return root
+
+
+DEFAULT_N_TRAIN = 400
+DEFAULT_N_VAL = 100
+
+
+def ensure_synthetic_dataset(
+    path: str | None = None, seed: int = 0,
+    n_train: int = DEFAULT_N_TRAIN, n_val: int = DEFAULT_N_VAL,
+) -> str:
+    """Generate the standard benchmark under `path` unless already present
+    (train.py/eval.py --synthetic). Deterministic in seed."""
+    root = path or "./data_synth"
+    marker = os.path.join(root, ".synthetic_meta.json")
+    meta = {"seed": seed, "n_train": n_train, "n_val": n_val, "rev": 1}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == meta:
+                return root
+    generate_synthetic_coco(root, n_train=n_train, n_val=n_val, seed=seed)
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+    return root

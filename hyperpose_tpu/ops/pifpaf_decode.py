@@ -19,6 +19,16 @@ src/pifpaf_decoder/openpifpaf_postprocessor.cpp:657-926):
   * keypoint-wise NMS uses rank-ordered pairwise suppression.
 
 Everything runs batched under one jit via vmap.
+
+End-to-end validated against a sequential transcription of the reference
+decoder (tests/golden_pifpaf.py + tests/test_pifpaf_golden.py): 100%
+keypoint agreement within 5 px and exact human counts on randomized
+multi-person fields. Intentional divergences from the reference: lazy
+top-C hi-res CIF at float query points (vs dense grid sampled at rounded
+ints), bounded top-K tables, parallel Jacobi growth (vs heapq commit
+order), seed NMS + rank NMS (vs sequential occupancy maps, whose
+corner-occupancy quirk — put_occupy on unassigned parts at (0,0),
+processor.py:177-179 — is not reproduced).
 """
 from __future__ import annotations
 

@@ -46,6 +46,11 @@ def parse_args():
     parser.add_argument("--lr_init", type=float, default=None)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on the deterministic synthetic "
+                             "multi-person benchmark (generated under "
+                             "--dataset_path when missing; see ACCURACY.md)")
+    parser.add_argument("--synthetic_seed", type=int, default=0)
     return parser.parse_args()
 
 
@@ -56,6 +61,12 @@ def main():
     Config.set_model_backbone(Config.BACKBONE[args.model_backbone])
     Config.set_dataset_type(Config.DATA[args.dataset_type])
     Config.set_dataset_version(args.dataset_version)
+    if args.synthetic:
+        from hyperpose_tpu.data.synthetic import ensure_synthetic_dataset
+
+        args.dataset_path = ensure_synthetic_dataset(
+            args.dataset_path, seed=args.synthetic_seed
+        )
     Config.set_dataset_path(args.dataset_path)
     Config.set_train_type(Config.TRAIN[args.train_type])
     Config.set_kungfu_option(Config.SYNC[args.sync_type])
