@@ -161,6 +161,206 @@ def _greedy_match(src: list[Entry], tgt: list) -> list[tuple[Entry, tuple]]:
     return matched
 
 
+# ---------------------------------------------------------------------------
+# Structural (layer-sequence) import — the exact path for known families
+# ---------------------------------------------------------------------------
+#
+# The kind-stream matcher below aligns each parameter KIND independently,
+# which silently mis-rotates equal-shaped runs when flax's alphabetical
+# flatten order differs from the TL build order (e.g. the LW cpm stage:
+# TL builds init, m0, m1, m2, end; flax flattens end, init, m0, m1, m2 —
+# four identical 3x3x128x128 kernels land one slot off). The structural
+# importer instead:
+#   1. groups TL entries into LAYERS (name prefix) in file (build) order,
+#   2. groups flax params into layers and sorts them with a per-family
+#      order key transcribing the reference build order,
+#   3. walks both sequences in lockstep, requiring type+shape agreement,
+#   4. folds TL conv biases into the following BN's moving_mean when the
+#      flax conv has no bias (mean' = moving_mean - bias: exact at
+#      inference, since BN sees conv(x)+b in TL but conv(x) here),
+#   5. fails loudly on any mismatch, listing both sequences at the point
+#      of divergence.
+
+_BN_KINDS = {"bn_scale", "bn_bias", "mean", "var"}
+
+
+@dataclass
+class TlLayer:
+    name: str
+    arrays: dict  # kind -> np.ndarray
+
+
+@dataclass
+class FlaxLayer:
+    path: tuple
+    ltype: str    # "conv" | "bn" | "prelu" | "dense"
+    params: dict  # kind -> (collection, keypath, shape)
+
+
+def group_tl_layers(entries: list[Entry]) -> list[TlLayer]:
+    """Group consecutive npz_dict entries by layer-name prefix."""
+    layers: list[TlLayer] = []
+    for e in entries:
+        prefix = e.name.rsplit(":", 1)[0].rsplit("/", 1)[0]
+        if not layers or layers[-1].name != prefix:
+            layers.append(TlLayer(prefix, {}))
+        layers[-1].arrays[e.kind] = e.array
+    return layers
+
+
+def group_flax_layers(variables: dict) -> dict[tuple, FlaxLayer]:
+    by_path: dict[tuple, FlaxLayer] = {}
+    for coll, names, kind, shape in _target_entries(variables):
+        path = names[:-1]
+        layer = by_path.setdefault(path, FlaxLayer(path, "", {}))
+        layer.params[kind] = (coll, names, shape)
+    for layer in by_path.values():
+        kinds = set(layer.params)
+        if kinds & _BN_KINDS:
+            layer.ltype = "bn"
+        elif "alpha" in kinds:
+            layer.ltype = "prelu"
+        elif "kernel" in kinds:
+            shape = layer.params["kernel"][2]
+            layer.ltype = "dense" if len(shape) == 2 else "conv"
+    return by_path
+
+
+def _tl_layer_type(layer: TlLayer) -> str:
+    kinds = set(layer.arrays)
+    if kinds & {"bn_scale", "bn_bias", "mean", "var"}:
+        return "bn"
+    if "alpha" in kinds:
+        return "prelu"
+    if "kernel" in kinds:
+        return "dense" if layer.arrays["kernel"].ndim == 2 else "conv"
+    return "unknown"
+
+
+def import_tl_checkpoint(
+    variables: dict, npz_path: str, order_key, strict: bool = True,
+) -> dict:
+    """Exact structural import of a reference TL npz_dict checkpoint.
+
+    order_key(path_tuple) -> sortable key transcribing the reference build
+    order for this model family (see models.openpose.*_TL_ORDER).
+    """
+    tl_seq = group_tl_layers(load_npz_dict_entries(npz_path))
+    flax_layers = sorted(
+        group_flax_layers(variables).values(),
+        key=lambda fl: order_key(fl.path),
+    )
+
+    def fail(msg, i):
+        ctx = []
+        for j in range(max(0, i - 2), min(max(len(tl_seq), len(flax_layers)),
+                                          i + 3)):
+            src = tl_seq[j].name if j < len(tl_seq) else "<end>"
+            tgt = ("/".join(flax_layers[j].path)
+                   if j < len(flax_layers) else "<end>")
+            ctx.append(f"    [{j}] tl={src}  flax={tgt}")
+        raise ValueError(
+            f"TL checkpoint import failed at layer {i}: {msg}\n"
+            + "\n".join(ctx)
+        )
+
+    if len(tl_seq) != len(flax_layers):
+        fail(
+            f"{len(tl_seq)} TL layers vs {len(flax_layers)} flax layers",
+            min(len(tl_seq), len(flax_layers)),
+        )
+
+    assignments: dict[tuple, np.ndarray] = {}
+    pending_bias: np.ndarray | None = None
+    for i, (tl, fl) in enumerate(zip(tl_seq, flax_layers)):
+        ttype = _tl_layer_type(tl)
+        if ttype != fl.ltype:
+            fail(f"type mismatch: tl {tl.name} is {ttype}, flax "
+                 f"{'/'.join(fl.path)} is {fl.ltype}", i)
+        if fl.ltype in ("conv", "dense"):
+            coll, keypath, shape = fl.params["kernel"]
+            fitted = _adapt(tl.arrays["kernel"], shape)
+            if fitted is None:
+                fail(f"kernel shape {tl.arrays['kernel'].shape} does not "
+                     f"fit {shape} ({tl.name} -> {'/'.join(fl.path)})", i)
+            assignments[(coll,) + keypath] = fitted
+            tl_bias = tl.arrays.get("bias")
+            if "bias" in fl.params:
+                coll, keypath, shape = fl.params["bias"]
+                if tl_bias is None:
+                    # TL layer built with b_init=None: keep the zero init.
+                    logger.info("%s: no TL bias for %s (b_init=None)",
+                                npz_path, "/".join(fl.path))
+                elif tl_bias.shape != shape:
+                    fail(f"bias shape {tl_bias.shape} != {shape}", i)
+                else:
+                    assignments[(coll,) + keypath] = tl_bias
+            elif tl_bias is not None:
+                if pending_bias is not None:
+                    fail("two consecutive fold-pending conv biases", i)
+                pending_bias = tl_bias  # fold into the next BN
+        elif fl.ltype == "bn":
+            for tl_kind, fl_kind in (("bn_scale", "bn_scale"),
+                                     ("bn_bias", "bn_bias"),
+                                     ("mean", "mean"), ("var", "var")):
+                if fl_kind not in fl.params:
+                    continue
+                coll, keypath, shape = fl.params[fl_kind]
+                arr = tl.arrays.get(tl_kind)
+                if arr is None or arr.shape != shape:
+                    fail(f"bn param {tl_kind}: "
+                         f"{None if arr is None else arr.shape} != {shape}",
+                         i)
+                if fl_kind == "mean" and pending_bias is not None:
+                    arr = arr - pending_bias
+                assignments[(coll,) + keypath] = arr
+            pending_bias = None
+        elif fl.ltype == "prelu":
+            coll, keypath, shape = fl.params["alpha"]
+            arr = tl.arrays.get("alpha")
+            if arr is None or arr.reshape(-1).shape != (int(np.prod(shape)),):
+                fail(f"prelu alpha mismatch at {tl.name}", i)
+            assignments[(coll,) + keypath] = arr.reshape(shape)
+    if pending_bias is not None and strict:
+        raise ValueError("dangling conv bias with no following BN to fold")
+
+    n_targets = len(_target_entries(variables))
+    if strict and len(assignments) != n_targets:
+        missing = n_targets - len(assignments)
+        raise ValueError(
+            f"structural import left {missing}/{n_targets} flax parameters "
+            "unassigned"
+        )
+
+    out = _apply_assignments(variables, assignments)
+    logger.info("structurally imported %d parameters (%d layers) from %s",
+                len(assignments), len(tl_seq), npz_path)
+    return out
+
+
+def _apply_assignments(variables: dict, assignments: dict) -> dict:
+    def replace(coll):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(variables[coll])
+        leaves = []
+        for path, leaf in flat:
+            names = (coll,) + tuple(
+                p.key if hasattr(p, "key") else str(p) for p in path
+            )
+            if names in assignments:
+                leaves.append(
+                    np.asarray(assignments[names], dtype=leaf.dtype)
+                )
+            else:
+                leaves.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    out = dict(variables)
+    for coll in ("params", "batch_stats"):
+        if coll in variables and variables[coll]:
+            out[coll] = replace(coll)
+    return out
+
+
 def import_npz_dict(variables: dict, npz_path: str, strict: bool = True):
     """Returns a copy of `variables` with every matched parameter replaced
     by the reference checkpoint value (order-preserving per-kind merge).
@@ -205,27 +405,10 @@ def import_npz_dict(variables: dict, npz_path: str, strict: bool = True):
             raise ValueError(msg)
         logger.warning(msg)
 
-    def replace(coll):
-        flat, treedef = jax.tree_util.tree_flatten_with_path(variables[coll])
-        leaves = []
-        for path, leaf in flat:
-            names = (coll,) + tuple(
-                p.key if hasattr(p, "key") else str(p) for p in path
-            )
-            if names in assignments:
-                leaves.append(
-                    np.asarray(assignments[names], dtype=leaf.dtype)
-                )
-            else:
-                leaves.append(leaf)
-        return jax.tree_util.tree_unflatten(treedef, leaves)
-
-    out = dict(variables)
-    for coll in ("params", "batch_stats"):
-        if coll in variables and variables[coll]:
-            out[coll] = replace(coll)
+    out = _apply_assignments(variables, assignments)
     logger.info(
-        "imported %d/%d parameters from %s",
+        "imported %d/%d parameters from %s (heuristic kind-stream matcher; "
+        "prefer import_tl_checkpoint for known model families)",
         len(assignments), len(targets), npz_path,
     )
     return out

@@ -35,8 +35,9 @@ def main():
 
     from hyperpose_tpu import Config, Model
     from hyperpose_tpu.train.checkpoint import save_weights_npz
+    from hyperpose_tpu.utils.tl_orders import ORDER_KEYS
     from hyperpose_tpu.utils.weights_import import (
-        compare_report, import_npz_dict,
+        compare_report, import_npz_dict, import_tl_checkpoint,
     )
 
     Config.reset()
@@ -53,9 +54,14 @@ def main():
     print(json.dumps(report, indent=2))
     if args.report:
         return
-    variables = import_npz_dict(
-        variables, args.src, strict=not args.lenient
-    )
+    order_key = ORDER_KEYS.get(args.model)
+    if order_key is not None:
+        # exact structural import (layer-sequence + bias folding)
+        variables = import_tl_checkpoint(variables, args.src, order_key)
+    else:
+        variables = import_npz_dict(
+            variables, args.src, strict=not args.lenient
+        )
     dst = args.dst or args.src.replace(".npz", "_converted.npz")
     save_weights_npz(variables, dst)
     print(f"wrote {dst}")

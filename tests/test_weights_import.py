@@ -1,146 +1,108 @@
-"""Reference npz_dict checkpoint ingestion."""
+"""Mechanics of the LEGACY kind-stream npz_dict matcher.
+
+Reference-convention parity (real TL naming, build order, bias folding)
+lives in tests/test_tl_import.py against hand-transcribed fixtures; this
+file only covers the fallback heuristic's mechanics with HAND-WRITTEN
+npz keys — no key is derived from our own flax tree.
+"""
 import numpy as np
 import pytest
 
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
 
-def tl_style_npz(variables, path, rng):
-    """Synthesize a TensorLayer npz_dict for the given flax variables:
-    TL-style keys (<layer>/<param>:0), build-order-like entry order, random
-    values, TF depthwise layout where applicable. Returns the entries."""
-    from hyperpose_tpu.utils.weights_import import (
-        _flax_kind, _target_entries,
-    )
+from hyperpose_tpu.utils.weights_import import (
+    compare_report, import_npz_dict,
+)
 
-    kind_to_tl = {
-        "kernel": "filters", "bias": "biases", "bn_scale": "gamma",
-        "bn_bias": "beta", "mean": "moving_mean", "var": "moving_variance",
-        "alpha": "alphas",
+
+class TinyNet(nn.Module):
+    """stem conv -> bn -> head conv: shapes chosen unique per layer."""
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(8, (3, 3), name="stem")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, name="bn"
+        )(x)
+        return nn.Conv(4, (1, 1), name="head")(x)
+
+
+def _init():
+    model = TinyNet()
+    return model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+
+
+def _tl_file(path, stem_kernel=None):
+    rng = np.random.default_rng(0)
+    entries = {
+        "net/conv2d/filters:0": (
+            stem_kernel if stem_kernel is not None
+            else rng.normal(size=(3, 3, 3, 8)).astype(np.float32)
+        ),
+        "net/conv2d/biases:0": rng.normal(size=(8,)).astype(np.float32),
+        "net/batchnorm/gamma:0": rng.normal(size=(8,)).astype(np.float32),
+        "net/batchnorm/beta:0": rng.normal(size=(8,)).astype(np.float32),
+        "net/batchnorm/moving_mean:0": rng.normal(size=(8,)).astype(np.float32),
+        "net/batchnorm/moving_variance:0":
+            rng.normal(size=(8,)).astype(np.float32) ** 2,
+        "net/conv2d_1/filters:0": rng.normal(size=(1, 1, 8, 4)).astype(np.float32),
+        "net/conv2d_1/biases:0": rng.normal(size=(4,)).astype(np.float32),
     }
-    entries = {}
-    for i, (coll, names, kind, shape) in enumerate(
-        _target_entries(variables)
-    ):
-        arr = rng.normal(size=shape).astype(np.float32)
-        key = f"layer_{i}_{'_'.join(names[:-1])}/{kind_to_tl[kind]}:0"
-        entries[key] = arr
     np.savez(path, **entries)
     return entries
 
 
-def test_import_lwopenpose_roundtrip(tmp_path):
-    import jax
-    import jax.numpy as jnp
-
-    from hyperpose_tpu.models.backbones import VggTiny
-    from hyperpose_tpu.models.openpose import LightWeightOpenPose
-    from hyperpose_tpu.utils.weights_import import (
-        compare_report, import_npz_dict,
-    )
-
-    model = LightWeightOpenPose(backbone=VggTiny, dtype=jnp.float32)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
-    )
-    rng = np.random.default_rng(0)
-    path = str(tmp_path / "ref.npz")
-    entries = tl_style_npz(dict(variables), path, rng)
-
-    report = compare_report(dict(variables), path)
+def test_hand_written_keys_align_and_import(tmp_path):
+    variables = dict(_init())
+    path = str(tmp_path / "tl.npz")
+    entries = _tl_file(path)
+    report = compare_report(variables, path)
     assert all(v["aligned"] for v in report.values()), report
-
-    out = import_npz_dict(dict(variables), path)
-    # every parameter replaced: none equals its init value stream
-    leaves_in = jax.tree_util.tree_leaves(variables["params"])
-    leaves_out = jax.tree_util.tree_leaves(out["params"])
-    n_changed = sum(
-        not np.allclose(np.asarray(a), np.asarray(b))
-        for a, b in zip(leaves_in, leaves_out)
+    out = import_npz_dict(variables, path)
+    assert np.allclose(
+        np.asarray(out["params"]["stem"]["kernel"]),
+        entries["net/conv2d/filters:0"],
     )
-    assert n_changed == len(leaves_in)
-    # and the imported values really are file values (sum check)
-    total_file = sum(float(v.sum()) for v in entries.values())
-    total_out = sum(
-        float(np.asarray(leaf, np.float64).sum())
-        for coll in ("params", "batch_stats")
-        for leaf in jax.tree_util.tree_leaves(out[coll])
+    assert np.allclose(
+        np.asarray(out["batch_stats"]["bn"]["mean"]),
+        entries["net/batchnorm/moving_mean:0"],
     )
-    assert total_out == pytest.approx(total_file, rel=1e-3)
-
-
-def test_import_resnet50_unique_stem(tmp_path):
-    """Stems/heads with unique shapes align even though flax flattens
-    alphabetically (stem sorts after blocks)."""
-    import jax
-    import jax.numpy as jnp
-
-    from hyperpose_tpu.models.backbones import Resnet18
-    from hyperpose_tpu.utils.weights_import import (
-        compare_report, import_npz_dict,
+    assert np.allclose(
+        np.asarray(out["params"]["head"]["bias"]),
+        entries["net/conv2d_1/biases:0"],
     )
-
-    model = Resnet18(dtype=jnp.float32)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
-    )
-    path = str(tmp_path / "ref.npz")
-    tl_style_npz(dict(variables), path, np.random.default_rng(1))
-    report = compare_report(dict(variables), path)
-    assert all(v["aligned"] for v in report.values()), report
-    out = import_npz_dict(dict(variables), path)
-    assert out["params"] is not variables["params"]
 
 
 def test_import_strict_raises_on_mismatch(tmp_path):
-    import jax
-    import jax.numpy as jnp
-
-    from hyperpose_tpu.models.backbones import VggTiny
-    from hyperpose_tpu.utils.weights_import import import_npz_dict
-
-    model = VggTiny(dtype=jnp.float32)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
-    )
+    variables = dict(_init())
     path = str(tmp_path / "bad.npz")
-    np.savez(path, **{"only/filters:0": np.zeros((3, 3, 3, 8), np.float32)})
+    np.savez(path, **{"only/filters:0": np.zeros((5, 5, 3, 8), np.float32)})
     with pytest.raises(ValueError):
-        import_npz_dict(dict(variables), path)
-    # lenient mode succeeds and logs instead
-    import_npz_dict(dict(variables), path, strict=False)
+        import_npz_dict(variables, path)
+    import_npz_dict(variables, path, strict=False)  # lenient mode logs
 
 
-def test_depthwise_reshape(tmp_path):
-    """TF depthwise [H, W, C, 1] kernels reshape into flax grouped-conv
-    [H, W, 1, C] slots."""
-    import jax
-    import jax.numpy as jnp
+def test_depthwise_reshape_adapts(tmp_path):
+    """TF depthwise [H, W, C, 1] kernels fit flax grouped [H, W, 1, C]."""
 
-    from hyperpose_tpu.models.backbones import MobilenetV1
-    from hyperpose_tpu.utils.weights_import import compare_report
+    class DwNet(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(
+                6, (3, 3), feature_group_count=6, name="dw"
+            )(jnp.tile(x, (1, 1, 1, 2)))
 
-    model = MobilenetV1(dtype=jnp.float32)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
-    )
-    path = str(tmp_path / "ref.npz")
-    # Build TL file but store depthwise kernels in TF layout.
-    from hyperpose_tpu.utils.weights_import import _target_entries
-
-    kind_to_tl = {
-        "kernel": "filters", "bias": "biases", "bn_scale": "gamma",
-        "bn_bias": "beta", "mean": "moving_mean", "var": "moving_variance",
-        "alpha": "alphas",
-    }
-    rng = np.random.default_rng(2)
-    entries = {}
-    for i, (coll, names, kind, shape) in enumerate(
-        _target_entries(dict(variables))
-    ):
-        if kind == "kernel" and len(shape) == 4 and shape[2] == 1:
-            arr = rng.normal(size=(shape[0], shape[1], shape[3], 1))
-        else:
-            arr = rng.normal(size=shape)
-        entries[f"l{i}/{kind_to_tl[kind]}:0"] = arr.astype(np.float32)
-    np.savez(path, **entries)
-    report = compare_report(dict(variables), path)
-    assert all(v["aligned"] for v in report.values()), report
+    variables = dict(DwNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3))))
+    assert variables["params"]["dw"]["kernel"].shape == (3, 3, 1, 6)
+    path = str(tmp_path / "dw.npz")
+    tf_layout = np.arange(3 * 3 * 6, dtype=np.float32).reshape(3, 3, 6, 1)
+    np.savez(path, **{
+        "net/depthwiseconv2d/filters:0": tf_layout,
+        "net/depthwiseconv2d/biases:0": np.zeros(6, np.float32),
+    })
+    out = import_npz_dict(variables, path)
+    got = np.asarray(out["params"]["dw"]["kernel"])
+    assert got.shape == (3, 3, 1, 6)
+    assert np.allclose(got, tf_layout.reshape(3, 3, 1, 6))
