@@ -1,20 +1,19 @@
-"""Operator-API example: batched image inference for any parser family.
+"""Tutorial: minimum stream-API program.
 
-(reference: examples/operator_api_batched_images_paf.example.cpp,
-operator_api_batched_images_pose_proposal.example.cpp,
-operator_api_batched_images_pifpaf.example.cpp — one program per parser
-there; --post selects the family here.)
+(reference: examples/stream_api_video_paf.example.cpp +
+stream_api_video_pose_proposal.example.cpp — the five-line stream setup;
+--post selects the parser family, mirroring the two reference programs.)
+
+Usage:  python examples/tutorial_stream.py input.mp4 out.mp4 --post ppn
 """
 import argparse
-import glob
 
-import cv2
 import jax
 import jax.numpy as jnp
 
 from hyperpose_tpu import Config, Model
 from hyperpose_tpu.runtime.engine import PoseEngine
-from hyperpose_tpu.utils.human import draw_humans
+from hyperpose_tpu.runtime.stream import StreamProcessor
 
 POST_TO_MODEL = {
     "paf": Config.MODEL.LightweightOpenpose,
@@ -25,15 +24,18 @@ POST_TO_MODEL = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("image_dir", nargs="?", default="./images")
+    ap.add_argument("source")
+    ap.add_argument("output", nargs="?", default="tutorial_stream_out.mp4")
     ap.add_argument("--post", choices=sorted(POST_TO_MODEL), default="paf")
     ap.add_argument("--weights", default=None)
     args = ap.parse_args()
 
+    # 1. configure the model family
     Config.reset()
     Config.set_model_type(POST_TO_MODEL[args.post])
     cfg = Config.get_config(create_dirs=False)
 
+    # 2. build the model + (optionally trained) variables
     model = Model.get_model(cfg)
     variables = model.init(
         jax.random.PRNGKey(0),
@@ -44,21 +46,19 @@ def main():
         from hyperpose_tpu.train.checkpoint import load_weights_npz
 
         variables = load_weights_npz(variables, args.weights)
+
+    # 3. fused engine (forward + on-device decode in one XLA program)
     engine = PoseEngine(
         model, variables, input_hw=(cfg.model.hin, cfg.model.win),
         fused_decode=Model._fused_decode_for(cfg, model),
     )
-    print(f"compile: {engine.warmup():.1f}s")
 
-    topo = Model.get_topology(cfg)
-    paths = sorted(glob.glob(f"{args.image_dir}/*.jpg"))[:engine.max_batch_size]
-    images = [cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB) for p in paths]
-    for path, img, humans in zip(paths, images, engine.inference(images)):
-        out = draw_humans(img, humans, topo)
-        dst = path.replace(".jpg", "_pose.png")
-        cv2.imwrite(dst, cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
-        print(f"{path}: {len(humans)} humans -> {dst}")
-    print(f"throughput: {engine.stats.fps:.1f} fps")
+    # 4. pipelined stream: reader -> preproc pool -> device -> writer
+    stream = StreamProcessor(engine)
+    stats = stream.process_video(
+        args.source, args.output, topology=Model.get_topology(cfg)
+    )
+    print(stats)
 
 
 if __name__ == "__main__":

@@ -67,3 +67,19 @@ def test_cli_stream_video(media):
         n += 1
     cap.release()
     assert n == 8
+
+
+@pytest.mark.parametrize("script", [
+    "operator_image_batch.py", "operator_imshow.py", "operator_video.py",
+    "stream_video.py", "tutorial_minimum.py", "tutorial_stream.py",
+    "gen_serialized_engine.py",
+])
+def test_example_scripts_parse(script):
+    """Example programs (reference: examples/*.example.cpp inventory)
+    compile and expose an argparse/CLI surface."""
+    import py_compile
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", script
+    )
+    py_compile.compile(path, doraise=True)
