@@ -24,8 +24,18 @@ from ..utils.topology import Topology
 logger = logging.getLogger("hyperpose_tpu.MODEL")
 
 # Python-side eval decode thresholds (reference: openpose/processor.py:36-37:
-# thresh_vec_cnt=6, thresh_human_score=0.3).
-EVAL_DECODER = PafDecoderConfig(crit1_thresh=6, min_human_score=0.3)
+# thresh_vec_cnt=6, thresh_human_score=0.3) at 2x-upsampled maps: the
+# reference decodes its maps upsampled (INTER_CUBIC, processor.py:75-95 /
+# paf.cpp:337-340 4x) because keypoints closer than one stride-8 cell merge
+# under 3x3 peak NMS at feature resolution (eyes/ears of small figures).
+# 2x recovers them at a quarter of 4x's decode area; smooth params are the
+# reference's 4x values rescaled; upsample=2 keeps the length penalty at
+# the reference's virtual-4x convention.
+EVAL_UPSAMPLE = 2
+EVAL_DECODER = PafDecoderConfig(
+    crit1_thresh=6, min_human_score=0.3, upsample=4 // EVAL_UPSAMPLE,
+    smooth_ksize=9, smooth_sigma=1.5, max_peaks=24,
+)
 
 MULTISCALE = (0.5, 1.0, 1.5, 2.0)  # reference: openpose/eval.py:16
 
@@ -66,19 +76,23 @@ class Evaluator:
             model = self.model
             base_hw = (self.input_hw[0] // 8, self.input_hw[1] // 8)
 
+            dec_hw = (base_hw[0] * EVAL_UPSAMPLE, base_hw[1] * EVAL_UPSAMPLE)
+
             @jax.jit
             def fwd(variables, x):
                 out = model.apply(variables, x.astype(model.dtype) / 255.0,
                                   train=False)
                 conf = out["conf_map"].astype(jnp.float32)
                 paf = out["paf_map"].astype(jnp.float32)
-                if conf.shape[1:3] != base_hw:
-                    b = conf.shape[0]
+                # decode-resolution upsample (reference: INTER_CUBIC map
+                # upsampling, openpose/processor.py:75-95)
+                b = conf.shape[0]
+                if conf.shape[1:3] != dec_hw:
                     conf = jax.image.resize(
-                        conf, (b, *base_hw, conf.shape[-1]), "linear"
+                        conf, (b, *dec_hw, conf.shape[-1]), "cubic"
                     )
                     paf = jax.image.resize(
-                        paf, (b, *base_hw, paf.shape[-1]), "linear"
+                        paf, (b, *dec_hw, paf.shape[-1]), "cubic"
                     )
                 return conf, paf
 
