@@ -71,6 +71,9 @@ class PifPafDecoderConfig:
     # Growth-phase backend: "auto" = fused pallas kernel on TPU (interpreted
     # on CPU only when forced), XLA elsewhere; "pallas" / "xla" force one.
     grow_backend: str = "auto"
+    # Unroll the XLA growth rounds instead of lax.fori_loop (jaxpr is ~8x
+    # larger; kept for compile-vs-runtime ablation).
+    grow_unroll: bool = False
 
 
 def _hr_query(qx, qy, cx, cy, cconf, cscale, cvalid, divisor):
@@ -394,12 +397,18 @@ def _grow_xla(seed_part, seed_vals, tables, cfg: PifPafDecoderConfig,
             ann_sc = jnp.where(commit, fss[best_e], ann_sc)
             return ann_score, ann_x, ann_y, ann_sc
 
-        # Unrolled: growth_steps is small and fixed, and unrolling lets XLA
-        # fuse across rounds instead of paying loop-carry latency per round.
+        # fori_loop, not unrolled: the growth rounds dominated the decode's
+        # jaxpr (5.4k of 6k eqns at 8 rounds) and with them the cold compile
+        # time; the loop-carry latency is noise next to the per-round
+        # [E, K] match evaluation.
         ann = (ann_score, ann_x, ann_y, ann_sc)
-        for _ in range(cfg.growth_steps):
-            ann = step(ann)
-        return ann
+        if cfg.grow_unroll:
+            for _ in range(cfg.growth_steps):
+                ann = step(ann)
+            return ann
+        return lax.fori_loop(
+            0, cfg.growth_steps, lambda _, a: step(a), ann
+        )
 
     return jax.vmap(grow_one)(seed_part, seed_vals)
 
