@@ -36,7 +36,9 @@ from jax import lax
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hyperpose_tpu.models.backbones import VggTiny
+from hyperpose_tpu.models.backbones import (
+    VggTiny, VggTinyS2DStem, remap_vggtiny_to_s2d,
+)
 from hyperpose_tpu.models.openpose import LightWeightOpenPose
 from hyperpose_tpu.ops.paf_decode import PafDecoderConfig, paf_decode_batch
 
@@ -51,13 +53,25 @@ def main():
     # (reference: stream.hpp:338).
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "100"))
+    # Serving path: the exact space-to-depth stem transform (default) —
+    # identical math to VggTiny with ~4x better MXU lane utilization in
+    # the first two convs; any TinyVGG checkpoint loads via
+    # remap_vggtiny_to_s2d. BENCH_S2D=0 benches the plain stem.
+    use_s2d = os.environ.get("BENCH_S2D", "1") != "0"
     hw = (368, 432)
     feat_hw = (hw[0] // 8, hw[1] // 8)
 
-    model = LightWeightOpenPose(backbone=VggTiny, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, *hw, 3), jnp.bfloat16),
+    plain = LightWeightOpenPose(backbone=VggTiny, dtype=jnp.bfloat16)
+    variables = plain.init(rng, jnp.zeros((1, *hw, 3), jnp.bfloat16),
                            train=False)
+    if use_s2d:
+        model = LightWeightOpenPose(
+            backbone=VggTinyS2DStem, dtype=jnp.bfloat16
+        )
+        variables = remap_vggtiny_to_s2d(variables)
+    else:
+        model = plain
     cfg = PafDecoderConfig()
 
     def fused(v, x):
@@ -99,7 +113,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "detail": {
-            "batch": batch, "steps": steps,
+            "batch": batch, "steps": steps, "s2d_stem": use_s2d,
             "compile_plus_first_s": round(compile_s, 1),
             "ms_per_frame": round(1000 * best / (batch * steps), 3),
             "backend": jax.default_backend(),

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Stream-mode end-to-end benchmark (reference protocol:
+docs/markdown/performance/prediction.md:19-21 — FPS over a 640x360 test
+video through the full pipeline: video decode -> host preproc -> device
+forward+decode -> draw -> encode).
+
+Prints one JSON line per configuration:
+  {"metric": "stream_fps_tinyvgg_432x368", "value": ..., ...}
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+VIDEO = "/tmp/bench_stream_640x360.mp4"
+
+
+def ensure_video(n_frames: int, hw=(360, 640), seed=0) -> str:
+    """Synthesize the test video once: moving articulated figures over a
+    textured background (cv2; no network needed)."""
+    import cv2
+
+    from hyperpose_tpu.data.synthetic import render_scene
+
+    marker = VIDEO + f".{n_frames}.ok"
+    if os.path.exists(VIDEO) and os.path.exists(marker):
+        return VIDEO
+    rng = np.random.default_rng(seed)
+    writer = cv2.VideoWriter(
+        VIDEO, cv2.VideoWriter_fourcc(*"mp4v"), 30, (hw[1], hw[0])
+    )
+    # a handful of keyframe scenes, cross-faded + translated for motion
+    scenes = [render_scene(rng, hw)[0] for _ in range(8)]
+    for i in range(n_frames):
+        a = scenes[(i // 60) % len(scenes)]
+        b = scenes[(i // 60 + 1) % len(scenes)]
+        t = (i % 60) / 60.0
+        frame = (a.astype(np.float32) * (1 - t) + b.astype(np.float32) * t)
+        shift = int(20 * np.sin(i / 15.0))
+        frame = np.roll(frame, shift, axis=1)
+        writer.write(cv2.cvtColor(frame.astype(np.uint8), cv2.COLOR_RGB2BGR))
+    writer.release()
+    open(marker, "w").close()
+    return VIDEO
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2000)
+    ap.add_argument("--model", default="LightweightOpenpose")
+    ap.add_argument("--backbone", default="Vggtiny")
+    ap.add_argument("--max_batch_size", type=int, default=None)
+    ap.add_argument("--write_output", action="store_true",
+                    help="also draw + encode an output video (the "
+                    "reference protocol writes one)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hyperpose_tpu import Config, Model
+    from hyperpose_tpu.runtime.engine import PoseEngine
+    from hyperpose_tpu.runtime.stream import StreamProcessor
+
+    source = ensure_video(args.frames)
+
+    Config.reset()
+    Config.set_model_type(Config.MODEL[args.model])
+    Config.set_model_backbone(Config.BACKBONE[args.backbone])
+    cfg = Config.get_config(create_dirs=False)
+    model = Model.get_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.model.hin, cfg.model.win, 3), model.dtype),
+        train=False,
+    )
+    kwargs = {}
+    if args.max_batch_size:
+        kwargs["max_batch_size"] = args.max_batch_size
+    engine = PoseEngine(
+        model, variables, input_hw=(cfg.model.hin, cfg.model.win),
+        fused_decode=Model._fused_decode_for(cfg, model), **kwargs,
+    )
+    compile_s = engine.warmup()
+
+    stream = StreamProcessor(engine)
+    t0 = time.perf_counter()
+    stats = stream.process_video(
+        source, output="/tmp/bench_stream_out.mp4" if args.write_output
+        else None,
+        topology=Model.get_topology(cfg) if args.write_output else None,
+    )
+    wall = time.perf_counter() - t0
+    frames = stats.get("frames", args.frames)
+    fps = frames / wall
+    print(json.dumps({
+        "metric": f"stream_fps_{args.backbone.lower()}_"
+                  f"{cfg.model.win}x{cfg.model.hin}",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 124.925, 3),
+        "detail": {
+            "frames": frames, "wall_s": round(wall, 2),
+            "compile_s": round(compile_s, 1),
+            "max_batch_size": engine.max_batch_size,
+            "write_output": bool(args.write_output),
+            "stats": {k: v for k, v in stats.items()
+                      if isinstance(v, (int, float))},
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -144,6 +144,146 @@ class VggTiny(nn.Module):
         return x
 
 
+class VggTinyS2DStem(nn.Module):
+    """EXACT space-to-depth serving form of VggTiny.
+
+    VggTiny's first two stride-1 convs run at full input resolution with
+    3->32->64 channels, leaving the 128-lane MXU mostly idle. This variant
+    computes the IDENTICAL function on the 2x2-packed half-resolution grid:
+
+      - input packed 2x2 -> channels (H, W, 3) -> (H/2, W/2, 12),
+      - block_0/block_1 convs become 3x3 packed convs producing all four
+        output phases as channel groups (kernels remapped EXACTLY from the
+        original 3x3 kernels by phase decomposition; see
+        remap_vggtiny_to_s2d),
+      - per-phase BatchNorm (original params tiled 4x),
+      - the first 2x2/2 maxpool collapses to a max over the 4 phase groups
+        (full-res windows align exactly with packed positions),
+
+    after which block_2.. proceed unchanged at the same resolution/values
+    as VggTiny post-pool. Use remap_vggtiny_to_s2d(variables) to convert
+    any trained/imported VggTiny checkpoint; outputs match to float
+    roundoff. (No reference counterpart — TPU-native serving transform.)
+    """
+
+    scale_size: int = 8
+    pretraining: bool = False
+    dtype: Dtype = jnp.float32
+    out_channels: int = 384
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        # phase-packed twins of block_0 (32ch) and block_1 (64ch)
+        x = ConvBN(4 * 32, dtype=self.dtype, name="s2d_0")(x, train)
+        x = ConvBN(4 * 64, dtype=self.dtype, name="s2d_1")(x, train)
+        # first maxpool == max over the 4 phase groups
+        bb, hh, ww, _ = x.shape
+        x = x.reshape(bb, hh, ww, 4, 64).max(axis=3)
+        cfg = [(128, 1), (128, 1), "pool", (200, 1), (200, 1), (200, 1),
+               "pool", (384, 1), (384, 1)]
+        i = 2  # block numbering continues VggTiny's
+        for item in cfg:
+            if item == "pool":
+                x = nn.max_pool(x, (2, 2), (2, 2), padding="SAME")
+            else:
+                f, s = item
+                x = ConvBN(
+                    f, strides=(s, s), dtype=self.dtype, name=f"block_{i}",
+                )(x, train)
+                i += 1
+        if self.scale_size == 32 or self.pretraining:
+            for j, s in enumerate([2, 1, 2]):
+                x = ConvBN(
+                    384, strides=(s, s), dtype=self.dtype,
+                    name=f"block_s32_{j}",
+                )(x, train)
+        if self.pretraining:
+            x = _classifier_head(x, [4096, 4096], self.dtype)
+        return x
+
+
+def _phase_pack_kernel(k: np.ndarray, in_phases: int) -> np.ndarray:
+    """Phase-decompose a full-resolution 3x3 stride-1 SAME conv kernel
+    [3, 3, Cin, Cout] into the equivalent 3x3 conv on the 2x2-packed grid:
+    [3, 3, 4*Cin, 4*Cout] (in_phases=4) or [3, 3, Cin*4-packed-raw, ...].
+
+    Packed channel layout matches VggTinyS2DStem's reshape:
+    channel = (phase_y * 2 + phase_x) * C + c.
+
+    Derivation: full-res output position p = 2q + d (phase d in {0,1}^2);
+    out(p) = sum_u k[u+1] in(2q + d + u); write d + u = 2s + e with
+    s = floor((d+u)/2) in {-1,0,1} and phase e — tap s+1 of a 3x3 packed
+    kernel reading input phase e. SAME padding on the packed grid zeroes
+    exactly the taps full-res SAME padding zeroes (even H/W).
+    """
+    kh, kw, cin, cout = k.shape
+    assert (kh, kw) == (3, 3)
+    out = np.zeros((3, 3, 4 * cin, 4 * cout), k.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            for uy in (-1, 0, 1):
+                for ux in (-1, 0, 1):
+                    sy, ey = divmod(dy + uy, 2)
+                    sx, ex = divmod(dx + ux, 2)
+                    out[sy + 1, sx + 1,
+                        (ey * 2 + ex) * cin:(ey * 2 + ex + 1) * cin,
+                        (dy * 2 + dx) * cout:(dy * 2 + dx + 1) * cout] \
+                        += k[uy + 1, ux + 1]
+    return out
+
+
+def _tile_phases(v: np.ndarray) -> np.ndarray:
+    """Per-channel BN param [C] -> per-phase-packed [4*C]."""
+    return np.tile(np.asarray(v), 4)
+
+
+def remap_vggtiny_to_s2d(variables: dict) -> dict:
+    """Convert VggTiny variables (trained or imported) into
+    VggTinyS2DStem variables computing the identical function.
+
+    Works on full model trees whose backbone subtree is VggTiny (e.g.
+    LightWeightOpenPose): only backbone/block_0 and backbone/block_1 are
+    transformed; every other leaf passes through unchanged.
+    """
+    import jax
+
+    def conv_params(blk):
+        return np.asarray(blk["conv"]["kernel"])
+
+    out = jax.tree.map(lambda x: x, variables)  # shallow-ish copy
+    params = dict(out["params"])
+    bb = dict(params["backbone"])
+    stats = dict(out.get("batch_stats", {}))
+    bstats = dict(stats.get("backbone", {}))
+
+    for i, cin_phases in ((0, 3), (1, 32)):
+        blk = bb.pop(f"block_{i}")
+        k = conv_params(blk)
+        s2d = {
+            "conv": {"kernel": _phase_pack_kernel(k, 4)},
+            "bn": {
+                "scale": _tile_phases(blk["bn"]["scale"]),
+                "bias": _tile_phases(blk["bn"]["bias"]),
+            },
+        }
+        bb[f"s2d_{i}"] = s2d
+        if f"block_{i}" in bstats:
+            bs = bstats.pop(f"block_{i}")
+            bstats[f"s2d_{i}"] = {"bn": {
+                "mean": _tile_phases(bs["bn"]["mean"]),
+                "var": _tile_phases(bs["bn"]["var"]),
+            }}
+    params["backbone"] = bb
+    out["params"] = params
+    if bstats:
+        stats["backbone"] = bstats
+        out["batch_stats"] = stats
+    return out
+
+
 class VggTinyS2D(nn.Module):
     """TPU-native TinyVGG variant: a space-to-depth stem.
 

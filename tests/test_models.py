@@ -99,3 +99,33 @@ def test_vggtiny_s2d_backbone():
     o2 = model.apply(v2, jnp.zeros((1, 64, 96, 3), model.dtype), train=False)
     assert o2["conf_map"].shape[1:3] == (8, 12)
     Config.reset()
+
+
+def test_vggtiny_s2d_remap_exact():
+    """VggTinyS2DStem + remap_vggtiny_to_s2d computes the IDENTICAL
+    function as VggTiny (serving transform for the flagship; kernels
+    phase-decomposed, BN tiled, first pool -> phase max)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyperpose_tpu.models.backbones import (
+        VggTiny, VggTinyS2DStem, remap_vggtiny_to_s2d,
+    )
+    from hyperpose_tpu.models.openpose import LightWeightOpenPose
+
+    m1 = LightWeightOpenPose(backbone=VggTiny)
+    m2 = LightWeightOpenPose(backbone=VggTinyS2DStem)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (2, 64, 96, 3))
+    v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = remap_vggtiny_to_s2d(v1)
+    y1 = m1.apply(v1, x, train=False)
+    y2 = m2.apply(v2, x, train=False)
+    for k in ("conf_map", "paf_map"):
+        a, b = y1[k], y2[k]
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5, k
+    # the s2d variables really do init-match the S2D module's structure
+    ref = m2.init(jax.random.PRNGKey(1), x, train=False)
+    s1 = jax.tree_util.tree_structure(ref)
+    s2 = jax.tree_util.tree_structure(v2)
+    assert s1 == s2
