@@ -324,7 +324,7 @@ def generate_synthetic_coco(
                     "segmentation": crowd["segmentation"],
                 })
                 ann_id += 1
-            if emit_mpii and split == "val" and n_labeled_people:
+            if emit_mpii and n_labeled_people:
                 mpii_name = f"mpii_{image_id:012d}.jpg"
                 cv2.imwrite(
                     os.path.join(root, "mpii", "images", mpii_name),
@@ -352,7 +352,8 @@ def generate_synthetic_coco(
                         "headbox": list(person["head_box"]),
                     })
                 mpii_entries.append({
-                    "image": mpii_name, "img_train": 0,
+                    "image": mpii_name,
+                    "img_train": 1 if split == "train" else 0,
                     "people": entry_people,
                 })
         ann = {
@@ -387,7 +388,7 @@ def ensure_synthetic_dataset(
     (train.py/eval.py --synthetic). Deterministic in seed."""
     root = path or "./data_synth"
     marker = os.path.join(root, ".synthetic_meta.json")
-    meta = {"seed": seed, "n_train": n_train, "n_val": n_val, "rev": 1}
+    meta = {"seed": seed, "n_train": n_train, "n_val": n_val, "rev": 2}
     if os.path.exists(marker):
         with open(marker) as f:
             if json.load(f) == meta:
