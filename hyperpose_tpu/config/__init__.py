@@ -461,6 +461,18 @@ def get_config(create_dirs: bool = True) -> Config:
         and "n_pos" not in _overrides["model"]
     ):
         cfg.model.n_pos = 16
+    # PoseProposal on MPII: 16 parts incl. Instance, 15 limbs
+    # (reference: pose_proposal/define.py:82-101 MpiiPart/MpiiLimb).
+    if (
+        cfg.data.dataset_type == DATA.MPII
+        and cfg.model.model_type == MODEL.PoseProposal
+        and "n_pos" not in _overrides["model"]
+    ):
+        cfg.model.n_pos = 16
+        if "K_size" not in _overrides["model"]:
+            cfg.model.K_size = 16
+        if "L_size" not in _overrides["model"]:
+            cfg.model.L_size = 15
 
     name = cfg.model.model_name
     base = f"./save_dir/{name}"

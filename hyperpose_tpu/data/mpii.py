@@ -33,10 +33,17 @@ JOINT_NAMES = [
 # MpiiPart (model 15-part + bg) row -> MPII native joint index; the Center
 # row (-2) is synthesized from the pelvis/thorax midpoint
 # (reference: openpose/define.py:86-101 MPII variant with Center part).
+# When the model carries 16 rows (PoseProposal: pose_proposal/define.py
+# MpiiPart.Instance=15), row 15 is the Instance anchor (-3), synthesized
+# as the visible-joint centroid (MPII has no person boxes; the reference's
+# COCO PPN anchor is the bbox center, mscoco_dataset/define.py:72-98).
 MPII_FROM_NATIVE = np.array(
     [9, 8, 12, 11, 10, 13, 14, 15, 2, 1, 0, 3, 4, 5, -2],
     np.int32,
 )
+# PoseProposal layout: + Instance anchor at row 15 (openpose-MPII models
+# keep row 15 as Background and must NOT get a target there).
+MPII_PPN_FROM_NATIVE = np.concatenate([MPII_FROM_NATIVE, [-3]]).astype(np.int32)
 _PELVIS, _THORAX = 6, 7
 
 
@@ -90,10 +97,17 @@ class MpiiPoseDataset(BasePoseDataset):
     """MPII dataset: 15-part model topology, PCKh@0.5 official metric."""
 
     def __init__(self, config):
+        from ..config import MODEL
+
         self.config = config
         d = config.data
         self.root = d.dataset_path
         self.n_rows = config.model.n_pos
+        self.layout = (
+            MPII_PPN_FROM_NATIVE
+            if config.model.model_type == MODEL.PoseProposal
+            else MPII_FROM_NATIVE
+        )
         self.ann_json = os.path.join(self.root, "mpii_annotations.json")
         self.image_dir = os.path.join(self.root, "images")
         self._entries = None
@@ -119,7 +133,7 @@ class MpiiPoseDataset(BasePoseDataset):
         kpts = np.full((self.n_rows, 2), MISSING, np.float32)
         valid = np.zeros((self.n_rows,), bool)
         vis = joints[:, 2] > 0
-        for row, src in enumerate(MPII_FROM_NATIVE):
+        for row, src in enumerate(self.layout):
             if row >= self.n_rows:
                 break
             if src >= 0 and vis[src]:
@@ -127,6 +141,9 @@ class MpiiPoseDataset(BasePoseDataset):
                 valid[row] = True
             elif src == -2 and vis[_PELVIS] and vis[_THORAX]:
                 kpts[row] = (joints[_PELVIS, :2] + joints[_THORAX, :2]) / 2.0
+                valid[row] = True
+            elif src == -3 and vis.any():
+                kpts[row] = joints[vis, :2].mean(axis=0)
                 valid[row] = True
         return kpts, valid
 
@@ -189,7 +206,7 @@ class MpiiPoseDataset(BasePoseDataset):
     def output_converter(self, kpts_xy: np.ndarray) -> list[float]:
         """Model rows -> MPII native 16*3 flat list."""
         out = np.zeros((16, 3), np.float32)
-        for row, src in enumerate(MPII_FROM_NATIVE):
+        for row, src in enumerate(self.layout):
             if row >= len(kpts_xy) or src < 0:
                 continue
             x, y = kpts_xy[row]

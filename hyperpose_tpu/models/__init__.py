@@ -51,6 +51,10 @@ def get_topology(config: Config) -> Topology:
             )
         return topo
     if mt == MODEL.PoseProposal:
+        if config.data.dataset_type == DATA.MPII:
+            from ..utils.topology import PPN_MPII_TOPOLOGY
+
+            return PPN_MPII_TOPOLOGY
         return PPN_TOPOLOGY
     if mt == MODEL.Pifpaf:
         return PIFPAF_TOPOLOGY
@@ -176,9 +180,12 @@ def get_postprocessor(config: Config):
     m = config.model
     mt = m.model_type
     if mt == MODEL.PoseProposal:
+        from ..utils.topology import instance_part_idx
+
         return partial(
-            ppn_decode_batch, cfg=PpnDecoderConfig(), hnei=m.hnei,
-            wnei=m.wnei, in_hw=(m.hin, m.win), topology=topo,
+            ppn_decode_batch,
+            cfg=PpnDecoderConfig(instance_part=instance_part_idx(topo)),
+            hnei=m.hnei, wnei=m.wnei, in_hw=(m.hin, m.win), topology=topo,
         )
     if mt == MODEL.Pifpaf:
         stride = m.hin // m.hout

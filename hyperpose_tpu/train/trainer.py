@@ -288,10 +288,16 @@ class Trainer:
             from ..data.targets import ppn_targets
             from ..models.pose_proposal import pose_proposal_loss
 
+            from ..models import get_topology
+            from ..utils.topology import instance_part_idx
+
+            inst = instance_part_idx(get_topology(cfg))
+
             def ppn_fn(predict, kpts, valid, mask, bbxs):
                 targets = ppn_targets(
                     kpts, valid, bbxs, limbs, in_hw, out_hw,
                     nei=(cfg.model.hnei, cfg.model.wnei),
+                    instance_idx=inst,
                 )
                 return pose_proposal_loss(model, predict, targets)
 

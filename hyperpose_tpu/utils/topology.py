@@ -299,6 +299,62 @@ PPN_TOPOLOGY = Topology(
     flip_list=PPN_FLIP_LIST,
 )
 
+
+class PpnMpiiPart(IntEnum):
+    """PoseProposal MPII parts incl. Instance anchor
+    (reference: pose_proposal/define.py:82-98)."""
+
+    Headtop = 0
+    Neck = 1
+    RShoulder = 2
+    RElbow = 3
+    RWrist = 4
+    LShoulder = 5
+    LElbow = 6
+    LWrist = 7
+    RHip = 8
+    RKnee = 9
+    RAnkle = 10
+    LHip = 11
+    LKnee = 12
+    LAnkle = 13
+    Center = 14
+    Instance = 15
+
+
+# reference: pose_proposal/define.py:100-101 MpiiLimb
+PPN_MPII_LIMBS = np.array(list(zip(
+    [15, 15, 1, 2, 3, 1, 5, 6, 1, 14, 8, 9, 14, 11, 12],
+    [0, 1, 2, 3, 4, 5, 6, 7, 14, 8, 9, 10, 11, 12, 13],
+)), dtype=np.int32)
+
+PPN_MPII_FLIP_LIST = _mirror_flip_list(
+    PpnMpiiPart,
+    [
+        (PpnMpiiPart.LShoulder, PpnMpiiPart.RShoulder),
+        (PpnMpiiPart.LElbow, PpnMpiiPart.RElbow),
+        (PpnMpiiPart.LWrist, PpnMpiiPart.RWrist),
+        (PpnMpiiPart.LHip, PpnMpiiPart.RHip),
+        (PpnMpiiPart.LKnee, PpnMpiiPart.RKnee),
+        (PpnMpiiPart.LAnkle, PpnMpiiPart.RAnkle),
+    ],
+)
+
+PPN_MPII_TOPOLOGY = Topology(
+    name="mpii_ppn",
+    parts=PpnMpiiPart,
+    limbs=PPN_MPII_LIMBS,
+    flip_list=PPN_MPII_FLIP_LIST,
+)
+
+
+def instance_part_idx(topology: Topology, default: int = 1) -> int:
+    """Row index of the PoseProposal Instance anchor in a topology."""
+    for part in topology.parts:
+        if part.name == "Instance":
+            return int(part.value)
+    return default
+
 PIFPAF_TOPOLOGY = Topology(
     name="coco_pifpaf",
     parts=PifPafPart,
