@@ -26,7 +26,9 @@ def parse_args():
                    help="post-processing family (usually implied by --model)")
     p.add_argument("--w", type=int, default=432, help="input width")
     p.add_argument("--h", type=int, default=368, help="input height")
-    p.add_argument("--max_batch_size", type=int, default=8)
+    p.add_argument("--max_batch_size", type=int, default=None,
+                   help="engine batch (default: auto-size to the measured "
+                        "optimum for the backend/resolution)")
     p.add_argument("--source", type=str, required=True,
                    help="video file, camera index, or image folder")
     p.add_argument("--runtime", type=str, default="operator",

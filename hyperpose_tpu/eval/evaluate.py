@@ -63,6 +63,15 @@ class Evaluator:
         self.output_converter = output_converter
         self.topology = topology
         self.batch_size = batch_size
+        # EVAL_DECODER carries COCO part/limb counts; re-target them to the
+        # active topology (MPII: 15 parts + Center, 14 limbs).
+        import dataclasses
+
+        if (decoder.n_parts != topology.n_parts
+                or decoder.n_limbs != topology.n_limbs):
+            decoder = dataclasses.replace(
+                decoder, n_parts=topology.n_parts, n_limbs=topology.n_limbs,
+            )
         self.decoder = decoder
         self.multiscale = multiscale
         self._fused_decode = fused_decode

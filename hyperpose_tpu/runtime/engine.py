@@ -37,6 +37,31 @@ class EngineStats:
         return self.frames / self.seconds if self.seconds else 0.0
 
 
+def default_max_batch_size(input_hw: tuple[int, int]) -> int:
+    """Auto-size the engine batch to the measured optimum for the backend.
+
+    On TPU the early small-channel convs are lane-bound and amortize with
+    batch; the measured sweep for TinyVGG 432x368 on one v5e chip is
+    8->909, 64->1120, 128->1410, 192->1261 fps (docs/performance.md), so
+    the default is 128 scaled down for larger resolutions by activation
+    footprint (keeps peak activation HBM roughly constant). On CPU (tests,
+    dev) large static batches only slow compilation down, so keep 8.
+    The reference leaves this to the user (max_batch_size=8 default,
+    reference: include/hyperpose/operator/dnn/tensorrt.hpp:46)."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return 8
+    h, w = input_hw
+    ref_pixels = 368 * 432
+    b = int(128 * ref_pixels / max(1, h * w))
+    # round down to a power of two in [8, 128]
+    p = 8
+    while p * 2 <= min(b, 128):
+        p *= 2
+    return p
+
+
 class PoseEngine:
     """Batched, fixed-shape pose inference: images -> skeletons.
 
@@ -52,7 +77,7 @@ class PoseEngine:
         model,
         variables,
         input_hw: tuple[int, int] = (368, 432),
-        max_batch_size: int = 8,
+        max_batch_size: int | None = None,
         decoder: PafDecoderConfig | None = None,
         topology: Topology = COCO_TOPOLOGY,
         keep_ratio: bool = False,
@@ -77,6 +102,8 @@ class PoseEngine:
         self.model = model
         self.variables = jax.device_put(variables)
         self.input_hw = tuple(input_hw)
+        if max_batch_size is None:
+            max_batch_size = default_max_batch_size(input_hw)
         self.max_batch_size = int(max_batch_size)
         self.decoder = decoder or PafDecoderConfig()
         self.topology = topology

@@ -26,35 +26,12 @@ from hyperpose_tpu.data.base import get_dataset
 from hyperpose_tpu.data.mscoco import OPPS_FROM_COCO17, coco17_to_model
 from hyperpose_tpu.data.synthetic import generate_synthetic_coco
 from hyperpose_tpu.data.targets import openpose_targets
-from hyperpose_tpu.eval.evaluate import Evaluator
 from hyperpose_tpu.models import get_topology
-from hyperpose_tpu.ops.paf_decode import PafDecoderConfig
+
+from gt_painted import GtPaintedEvaluator
 
 IN_HW = (368, 432)
 FEAT_HW = (46, 54)
-
-
-class GtPaintedEvaluator(Evaluator):
-    """Evaluator whose 'model' is the target generator fed with gt
-    keypoints, consumed batch-by-batch in record order. Applies the same
-    2x decode-resolution upsample as the real eval path."""
-
-    def set_batches(self, batches):
-        self._batches = list(batches)
-        self._cursor = 0
-
-    def infer_batch(self, images_u8):
-        import jax
-
-        from hyperpose_tpu.eval.evaluate import EVAL_UPSAMPLE
-
-        conf, paf = self._batches[self._cursor]
-        self._cursor += 1
-        b, h, w, _ = conf.shape
-        dec_hw = (h * EVAL_UPSAMPLE, w * EVAL_UPSAMPLE)
-        conf = jax.image.resize(conf, (b, *dec_hw, conf.shape[-1]), "cubic")
-        paf = jax.image.resize(paf, (b, *dec_hw, paf.shape[-1]), "cubic")
-        return self._decode(conf, paf)
 
 
 @pytest.fixture(scope="module")
