@@ -53,11 +53,14 @@ def main():
     # (reference: stream.hpp:338).
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "100"))
-    # Serving path: the exact space-to-depth stem transform (default) —
-    # identical math to VggTiny with ~4x better MXU lane utilization in
-    # the first two convs; any TinyVGG checkpoint loads via
-    # remap_vggtiny_to_s2d. BENCH_S2D=0 benches the plain stem.
-    use_s2d = os.environ.get("BENCH_S2D", "1") != "0"
+    # Serving stem: the exact space-to-depth transform is identical math to
+    # VggTiny (any checkpoint loads via remap_vggtiny_to_s2d) and wins at
+    # small batch where the 3-channel first conv is lane-bound (b8: 1537 vs
+    # 1003 fps); at large batch the early convs amortize and the plain stem
+    # wins (b128: 1673 vs 1310 fps — S2D's reshapes add HBM traffic). The
+    # default follows the measured crossover; BENCH_S2D=1/0 overrides.
+    s2d_env = os.environ.get("BENCH_S2D", "")
+    use_s2d = (batch < 64) if s2d_env == "" else s2d_env != "0"
     hw = (368, 432)
     feat_hw = (hw[0] // 8, hw[1] // 8)
 
