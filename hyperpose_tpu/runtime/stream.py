@@ -119,6 +119,7 @@ class StreamProcessor:
         self._threads: list[threading.Thread] = []
         self._monitor: threading.Thread | None = None
         self._stop = threading.Event()
+        self._frames_bgr = False
         self.frames_in = 0
         self.frames_out = 0
 
@@ -155,6 +156,11 @@ class StreamProcessor:
                     import cv2
 
                     resized = cv2.resize(frame, (w, h))
+                if self._frames_bgr:
+                    # Channel swap on the SMALL resized frame — resize is
+                    # channel-agnostic, so headless video streaming skips
+                    # the per-frame full-resolution cvtColor entirely.
+                    resized = np.ascontiguousarray(resized[..., ::-1])
                 # Compressed infeed: ship 4:2:0 YUV (half the bytes) when
                 # the engine reconstructs RGB on-device.
                 encode = getattr(self.engine, "encode_input", None)
@@ -199,12 +205,30 @@ class StreamProcessor:
         # (single, packed) device->host fetch completes — hides transfer
         # latency behind compute (replaces the reference's stage overlap via
         # parser replica threads, stream.hpp:347-385).
+        # Greedy batching with a short fill window: each device dispatch
+        # pays a fixed RPC round-trip (remote/tunneled backends: ~24 ms),
+        # so dribble-sized batches are disproportionately expensive. After
+        # taking what's available, top up for <=50 ms toward min_fill
+        # before dispatching (reference analog: dump-whatever-is-there,
+        # stream.hpp:326-345 — extended for the RPC-cost regime).
+        min_fill = max(1, min(bmax // 4, 32))
         in_flight: tuple | None = None
-        while True:
+        closed = False
+        while not closed:
             try:
                 items = self.resized_q.dump(bmax, timeout_ms=200)
             except EOFError:
                 break
+            if items and len(items) < min_fill:
+                deadline = time.perf_counter() + 0.05
+                while len(items) < min_fill and time.perf_counter() < deadline:
+                    try:
+                        items.extend(self.resized_q.dump(
+                            bmax - len(items), timeout_ms=10
+                        ))
+                    except EOFError:
+                        closed = True
+                        break
             if not items:
                 if in_flight is not None:
                     emit(*in_flight)
@@ -220,9 +244,14 @@ class StreamProcessor:
 
     # -- public API ----------------------------------------------------------
 
-    def process(self, frames: Iterator[np.ndarray]) -> Iterator[FrameResult]:
+    def process(
+        self, frames: Iterator[np.ndarray], frames_bgr: bool = False,
+    ) -> Iterator[FrameResult]:
         """Run the pipeline over an iterator of RGB frames; yields ordered
-        FrameResults."""
+        FrameResults. frames_bgr=True accepts BGR frames (cv2 native) and
+        swaps channels on the small resized frame instead — FrameResult
+        .frame is then BGR too."""
+        self._frames_bgr = frames_bgr
         self._threads = [
             threading.Thread(target=self._reader, args=(frames,), daemon=True),
             threading.Thread(target=self._preproc, daemon=True),
@@ -257,20 +286,26 @@ class StreamProcessor:
             raise IOError(f"cannot open video source {source}")
         fps_in = cap.get(cv2.CAP_PROP_FPS) or 30
 
+        # Headless runs keep frames BGR end to end (no per-frame
+        # full-resolution cvtColor); rendering paths convert so drawn
+        # colors and written video stay correct.
+        render = output is not None or imshow
+
         def frames():
             n = 0
             while limit is None or n < limit:
                 ok, frame = cap.read()
                 if not ok:
                     break
-                yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                yield (cv2.cvtColor(frame, cv2.COLOR_BGR2RGB) if render
+                       else frame)
                 n += 1
             cap.release()
 
         writer = None
         t0 = time.perf_counter()
         n_humans = 0
-        for result in self.process(frames()):
+        for result in self.process(frames(), frames_bgr=not render):
             if output is not None or imshow:
                 out_frame = result.frame
                 if topology is not None:
