@@ -32,8 +32,12 @@ logger = logging.getLogger("hyperpose_tpu.MODEL")
 @dataclasses.dataclass
 class FrameResult:
     index: int
-    frame: np.ndarray          # original RGB frame
+    frame: np.ndarray
+    """Original frame as supplied by the source. RGB unless the pipeline ran
+    with frames_bgr=True (headless process_video does), in which case it is
+    BGR — check `frame_is_bgr` before drawing/saving."""
     humans: list[Human]
+    frame_is_bgr: bool = False
 
 
 class _PyQueue:
@@ -111,7 +115,13 @@ class StreamProcessor:
     Results are consumed in order from the caller's thread.
     """
 
-    def __init__(self, engine: PoseEngine, queue_capacity: int = 64):
+    def __init__(self, engine: PoseEngine, queue_capacity: int | None = None):
+        # Queues must hold at least two full device batches so the compiled
+        # batch size is actually reachable (a 64-slot queue in front of a
+        # statically compiled 128-batch would cap every dispatch at half
+        # fill and pad the rest with zeros).
+        if queue_capacity is None:
+            queue_capacity = max(64, 2 * engine.max_batch_size)
         self.engine = engine
         self.input_q = _make_queue(queue_capacity)
         self.resized_q = _make_queue(queue_capacity)
@@ -120,6 +130,7 @@ class StreamProcessor:
         self._monitor: threading.Thread | None = None
         self._stop = threading.Event()
         self._frames_bgr = False
+        self._low_latency = False
         self.frames_in = 0
         self.frames_out = 0
 
@@ -199,19 +210,25 @@ class StreamProcessor:
                     np.asarray(d.valid),
                 )
             for i, (idx, frame, _) in enumerate(items):
-                self.result_q.push(FrameResult(idx, frame, sk.to_humans(i)))
+                self.result_q.push(FrameResult(
+                    idx, frame, sk.to_humans(i),
+                    frame_is_bgr=self._frames_bgr,
+                ))
 
         # Double-buffered dispatch: batch k+1 is in flight while batch k's
         # (single, packed) device->host fetch completes — hides transfer
         # latency behind compute (replaces the reference's stage overlap via
         # parser replica threads, stream.hpp:347-385).
         # Greedy batching with a short fill window: each device dispatch
-        # pays a fixed RPC round-trip (remote/tunneled backends: ~24 ms),
-        # so dribble-sized batches are disproportionately expensive. After
-        # taking what's available, top up for <=50 ms toward min_fill
+        # pays a fixed RPC round-trip (remote/tunneled backends: ~24 ms)
+        # plus a statically compiled bmax-batch of device work regardless of
+        # fill, so partial batches are disproportionately expensive. After
+        # taking what's available, top up for <=50 ms toward a FULL batch
         # before dispatching (reference analog: dump-whatever-is-there,
-        # stream.hpp:326-345 — extended for the RPC-cost regime).
-        min_fill = max(1, min(bmax // 4, 32))
+        # stream.hpp:326-345 — extended for the fixed-shape/RPC regime).
+        # Live sources (camera, imshow) instead run low-latency: dispatch
+        # whatever arrived, no top-up wait.
+        min_fill = 1 if self._low_latency else bmax
         in_flight: tuple | None = None
         closed = False
         while not closed:
@@ -246,12 +263,16 @@ class StreamProcessor:
 
     def process(
         self, frames: Iterator[np.ndarray], frames_bgr: bool = False,
+        low_latency: bool = False,
     ) -> Iterator[FrameResult]:
         """Run the pipeline over an iterator of RGB frames; yields ordered
         FrameResults. frames_bgr=True accepts BGR frames (cv2 native) and
         swaps channels on the small resized frame instead — FrameResult
-        .frame is then BGR too."""
+        .frame is then BGR too (and flagged frame_is_bgr). low_latency=True
+        skips the batch top-up window: right for live sources whose frame
+        rate can never fill a large compiled batch inside the window."""
         self._frames_bgr = frames_bgr
+        self._low_latency = low_latency
         self._threads = [
             threading.Thread(target=self._reader, args=(frames,), daemon=True),
             threading.Thread(target=self._preproc, daemon=True),
@@ -276,11 +297,23 @@ class StreamProcessor:
         self, source: str, output: str | None = None,
         topology=None, limit: int | None = None,
         alpha: float = 1.0, imshow: bool = False,
+        low_latency: bool | None = None,
     ) -> dict:
         """Video file/camera end-to-end (reference: examples/cli.cpp stream
-        mode + write_to VideoWriter, src/stream.cpp:114-147)."""
+        mode + write_to VideoWriter, src/stream.cpp:114-147).
+
+        low_latency defaults to True for live sources (camera index or
+        imshow display) — the batch top-up window would otherwise add up to
+        50 ms/batch waiting for frames a 30 fps camera can't deliver."""
         import cv2
 
+        is_camera = isinstance(source, int) or (
+            isinstance(source, str) and source.isdigit()
+        )
+        if low_latency is None:
+            low_latency = is_camera or imshow
+        if is_camera and isinstance(source, str):
+            source = int(source)
         cap = cv2.VideoCapture(source)
         if not cap.isOpened():
             raise IOError(f"cannot open video source {source}")
@@ -305,7 +338,8 @@ class StreamProcessor:
         writer = None
         t0 = time.perf_counter()
         n_humans = 0
-        for result in self.process(frames(), frames_bgr=not render):
+        for result in self.process(frames(), frames_bgr=not render,
+                                   low_latency=low_latency):
             if output is not None or imshow:
                 out_frame = result.frame
                 if topology is not None:

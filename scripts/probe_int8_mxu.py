@@ -23,8 +23,13 @@ def bench(fn, *args, steps=30):
         def body(_, carry):
             acc, a = carry
             o = fn(a, b)
-            acc = acc + jnp.float32(o[0, 0])
-            a = (a + acc.astype(a.dtype) * 0).astype(a.dtype)
+            # Consume the FULL output (a single-element read would let XLA
+            # slice into the dot / hoist it as loop-invariant) and feed a
+            # value-dependent perturbation back into the carry so every
+            # iteration's dot is live. (acc * 1e-30) is 0 at runtime for
+            # int8 and ~0 for bf16, but the compiler cannot fold it.
+            acc = acc + jnp.sum(o, dtype=jnp.float32)
+            a = a + (acc * 1e-30).astype(a.dtype)
             return acc, a
 
         return lax.fori_loop(0, steps, body, (jnp.float32(0), a))[0]

@@ -68,6 +68,73 @@ def test_stream_pipeline_ordered():
     assert sp.frames_out == 30
 
 
+class _RecordingEngine(_FakeEngine):
+    """Fake engine that records every dispatched batch."""
+
+    def __init__(self):
+        self.batches = []
+
+    def infer_batch_device(self, batch):
+        self.batches.append(np.asarray(batch).copy())
+        return super().infer_batch_device(batch)
+
+
+def test_stream_batch_fill_tops_up_to_full():
+    """Throughput mode tops partial dumps up toward the full compiled batch
+    (a statically compiled bmax-batch costs the same regardless of fill)."""
+    engine = _RecordingEngine()
+    sp = StreamProcessor(engine)
+    # Default queue capacity covers >= 2 full batches.
+    assert sp.input_q.stats()["capacity"] >= 2 * engine.max_batch_size
+
+    frames = (np.full((48, 64, 3), i + 1, np.uint8) for i in range(32))
+    results = list(sp.process(frames))
+    assert [r.index for r in results] == list(range(32))
+    fills = [int((b.reshape(b.shape[0], -1) != 0).any(axis=1).sum())
+             for b in engine.batches]
+    assert sum(fills) == 32
+    # All but the final flush dispatch at full fill: the source outruns the
+    # device here, so the 50 ms window always reaches bmax.
+    assert all(f == engine.max_batch_size for f in fills[:-1])
+
+
+def test_stream_low_latency_skips_topup():
+    """low_latency dispatches whatever arrived instead of waiting out the
+    fill window — a slow live source must not eat 50 ms/batch."""
+    engine = _RecordingEngine()
+    sp = StreamProcessor(engine)
+
+    def slow_frames():
+        for i in range(6):
+            time.sleep(0.03)
+            yield np.full((48, 64, 3), i + 1, np.uint8)
+
+    t0 = time.perf_counter()
+    results = list(sp.process(slow_frames(), low_latency=True))
+    dt = time.perf_counter() - t0
+    assert [r.index for r in results] == list(range(6))
+    # 6 frames at ~30 ms spacing: with the 50 ms top-up this would take
+    # >= 6 * 50 ms extra; low-latency keeps it near the source rate.
+    assert len(engine.batches) >= 3
+    assert dt < 1.0
+
+
+def test_stream_frames_bgr_swaps_for_device():
+    """frames_bgr=True: the device sees RGB (swap happens on the small
+    resized frame) and FrameResult keeps + flags the original BGR frame."""
+    engine = _RecordingEngine()
+    sp = StreamProcessor(engine, queue_capacity=8)
+    bgr = np.zeros((48, 64, 3), np.uint8)
+    bgr[..., 0], bgr[..., 1], bgr[..., 2] = 30, 20, 10  # B,G,R
+
+    results = list(sp.process(iter([bgr]), frames_bgr=True))
+    assert len(results) == 1
+    assert results[0].frame_is_bgr
+    np.testing.assert_array_equal(results[0].frame, bgr)
+    seen = engine.batches[0][0]  # first (only) filled slot, RGB order
+    assert (seen[..., 0] == 10).all() and (seen[..., 2] == 30).all()
+
+
 def test_stream_monitor_runs():
     engine = _FakeEngine()
     sp = StreamProcessor(engine, queue_capacity=8)
