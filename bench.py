@@ -37,7 +37,8 @@ from jax import lax
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hyperpose_tpu.models.backbones import (
-    VggTiny, VggTinyS2DStem, remap_vggtiny_to_s2d,
+    VggTiny, VggTinyFusedStem, VggTinyS2DStem, remap_vggtiny_to_fused,
+    remap_vggtiny_to_s2d,
 )
 from hyperpose_tpu.models.openpose import LightWeightOpenPose
 from hyperpose_tpu.ops.paf_decode import PafDecoderConfig, paf_decode_batch
@@ -53,14 +54,19 @@ def main():
     # (reference: stream.hpp:338).
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "100"))
-    # Serving stem: the exact space-to-depth transform is identical math to
-    # VggTiny (any checkpoint loads via remap_vggtiny_to_s2d) and wins at
-    # small batch where the 3-channel first conv is lane-bound (b8: 1537 vs
-    # 1003 fps); at large batch the early convs amortize and the plain stem
-    # wins (b128: 1673 vs 1310 fps — S2D's reshapes add HBM traffic). The
-    # default follows the measured crossover; BENCH_S2D=1/0 overrides.
-    s2d_env = os.environ.get("BENCH_S2D", "")
-    use_s2d = (batch < 64) if s2d_env == "" else s2d_env != "0"
+    # Serving stem — three EXACT forms of the same checkpoint (any trained
+    # VggTiny loads via remap_vggtiny_to_{s2d,fused}):
+    #   plain: faithful layer stack.
+    #   s2d:   space-to-depth phase twin; wins at small batch where the
+    #          3-channel first conv is lane-bound (b8: 1537 vs 1003 fps)
+    #          but pays 4x stem FLOPs, losing at large batch.
+    #   fused: packed conv0 + Pallas conv1+BN+relu+pool in VMEM
+    #          (ops/pallas/stem_kernel.py) — removes the full-res
+    #          activation HBM round-trips that bound the stem at large
+    #          batch. Default at batch >= 64; BENCH_STEM overrides.
+    stem = os.environ.get("BENCH_STEM", "")
+    if not stem:
+        stem = "s2d" if batch < 64 else "fused"
     hw = (368, 432)
     feat_hw = (hw[0] // 8, hw[1] // 8)
 
@@ -68,11 +74,16 @@ def main():
     plain = LightWeightOpenPose(backbone=VggTiny, dtype=jnp.bfloat16)
     variables = plain.init(rng, jnp.zeros((1, *hw, 3), jnp.bfloat16),
                            train=False)
-    if use_s2d:
+    if stem == "s2d":
         model = LightWeightOpenPose(
             backbone=VggTinyS2DStem, dtype=jnp.bfloat16
         )
         variables = remap_vggtiny_to_s2d(variables)
+    elif stem == "fused":
+        model = LightWeightOpenPose(
+            backbone=VggTinyFusedStem, dtype=jnp.bfloat16
+        )
+        variables = remap_vggtiny_to_fused(variables)
     else:
         model = plain
     cfg = PafDecoderConfig()
@@ -116,7 +127,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "detail": {
-            "batch": batch, "steps": steps, "s2d_stem": use_s2d,
+            "batch": batch, "steps": steps, "stem": stem,
             "compile_plus_first_s": round(compile_s, 1),
             "ms_per_frame": round(1000 * best / (batch * steps), 3),
             "backend": jax.default_backend(),

@@ -284,6 +284,141 @@ def remap_vggtiny_to_s2d(variables: dict) -> dict:
     return out
 
 
+class VggTinyFusedStem(nn.Module):
+    """EXACT serving form of VggTiny with the stem (block_0, block_1, pool1)
+    replaced by a packed XLA conv + the fused Pallas conv+pool kernel
+    (ops.pallas.stem_kernel) so the full-resolution activations never touch
+    HBM. Inference only (BatchNorm is folded); convert any VggTiny
+    checkpoint with remap_vggtiny_to_fused(variables) — outputs match to
+    float roundoff. blocks 2.. are identical to VggTiny.
+
+    conv0p computes block_0 on the 2-pixel-packed image: input
+    (B, H, W/2, 6) [pair-packed RGB], output (B, H, W/2, 64) packing both
+    x-phases' 32 channels into lanes; its (3,3,6,64) kernel is the phase
+    decomposition of block_0's (3,3,3,32) (see remap; 50% structural zeros,
+    but block_0 is 0.4% of the net's FLOPs and this keeps lanes full and
+    the layout aligned for the fused kernel).
+    """
+
+    scale_size: int = 8
+    pretraining: bool = False
+    dtype: Dtype = jnp.float32
+    out_channels: int = 384
+    interpret: bool = False  # pallas interpret mode (CPU tests)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..ops.pallas.stem_kernel import fused_conv1_pool
+
+        if train or self.pretraining:
+            raise NotImplementedError(
+                "VggTinyFusedStem is a serving-only transform; train with "
+                "VggTiny and remap_vggtiny_to_fused the checkpoint"
+            )
+        b, h, w, c = x.shape
+        xp = x.reshape(b, h, w // 2, 2 * c)
+        a0p = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype,
+                              name="conv0p")(xp))
+        w1p = self.param("w1p", nn.initializers.zeros, (3, 128, 128),
+                         jnp.float32)
+        b1p = self.param("b1p", nn.initializers.zeros, (128,), jnp.float32)
+        x = fused_conv1_pool(a0p, w1p.astype(self.dtype), b1p,
+                             interpret=self.interpret)
+        cfg = [(128, 1), (128, 1), "pool", (200, 1), (200, 1), (200, 1),
+               "pool", (384, 1), (384, 1)]
+        i = 2  # block numbering continues VggTiny's
+        for item in cfg:
+            if item == "pool":
+                x = nn.max_pool(x, (2, 2), (2, 2), padding="SAME")
+            else:
+                f, s = item
+                x = ConvBN(
+                    f, strides=(s, s), dtype=self.dtype, name=f"block_{i}",
+                )(x, train)
+                i += 1
+        if self.scale_size == 32:
+            for j, s in enumerate([2, 1, 2]):
+                x = ConvBN(
+                    384, strides=(s, s), dtype=self.dtype,
+                    name=f"block_s32_{j}",
+                )(x, train)
+        return x
+
+
+def _fold_bn(kernel, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-5):
+    """Fold inference BatchNorm into conv kernel + bias."""
+    s = np.asarray(bn_scale) / np.sqrt(np.asarray(bn_var) + eps)
+    return (np.asarray(kernel, np.float32) * s,
+            np.asarray(bn_bias) - np.asarray(bn_mean) * s)
+
+
+def remap_vggtiny_to_fused(variables: dict) -> dict:
+    """Convert VggTiny variables (trained or imported, full model trees
+    included) into VggTinyFusedStem variables computing the identical
+    function at inference.
+
+    block_0 (conv+BN) -> conv0p: W0p[dy, kq, 3*px+ci, 32*p+co] =
+    W0fold[dy, dx+1, ci, co] at dx = 2*(kq-1)+px-p when |dx| <= 1, else 0
+    (x_in = 2*(q+kq-1)+px, x_out = 2*q+p on the pair grid).
+
+    block_1 (conv+BN) -> (w1p, b1p) for the fused kernel: per dy, the
+    128x128 matrix reading the kernel's bt lane layout
+    [x=2q-1: ci | x=2q: ci | x=2q+1: ci | x=2q+2: ci] and writing
+    [x=2q: co | x=2q+1: co]; W1p[dy][32*(off+1)+...] = W1fold[dy, dx+1,
+    ci, co] with dx = off - p for off in {-1, 0, 1, 2}.
+    """
+    import jax
+
+    def bn_of(name, params_bb, stats_bb):
+        blk, bst = params_bb[name], stats_bb[name]
+        return (np.asarray(blk["conv"]["kernel"]), blk["bn"]["scale"],
+                blk["bn"]["bias"], bst["bn"]["mean"], bst["bn"]["var"])
+
+    out = jax.tree.map(lambda x: x, variables)
+    params = dict(out["params"])
+    bb = dict(params["backbone"])
+    stats = dict(out.get("batch_stats", {}))
+    bstats = dict(stats.get("backbone", {}))
+
+    w0f, b0f = _fold_bn(*bn_of("block_0", bb, bstats))     # (3,3,3,32),(32,)
+    w1f, b1f = _fold_bn(*bn_of("block_1", bb, bstats))     # (3,3,32,64),(64,)
+
+    w0p = np.zeros((3, 3, 6, 64), np.float32)
+    for kq in range(3):
+        for px in range(2):
+            for p in range(2):
+                dx = 2 * (kq - 1) + px - p
+                if abs(dx) <= 1:
+                    w0p[:, kq, 3 * px: 3 * px + 3, 32 * p: 32 * p + 32] = \
+                        w0f[:, dx + 1]
+    b0p = np.tile(b0f, 2)
+
+    w1p = np.zeros((3, 128, 128), np.float32)
+    for off in (-1, 0, 1, 2):
+        for p in range(2):
+            dx = off - p
+            if abs(dx) <= 1:
+                w1p[:, 32 * (off + 1): 32 * (off + 1) + 32,
+                    64 * p: 64 * p + 64] = w1f[:, dx + 1]
+    b1p = np.tile(b1f, 2)
+
+    for name in ("block_0", "block_1"):
+        bb.pop(name)
+        bstats.pop(name, None)
+    bb["conv0p"] = {"kernel": w0p, "bias": b0p}
+    bb["w1p"] = w1p
+    bb["b1p"] = b1p
+    params["backbone"] = bb
+    out["params"] = params
+    if bstats:
+        stats["backbone"] = bstats
+        out["batch_stats"] = stats
+    elif "backbone" in stats:
+        del stats["backbone"]
+        out["batch_stats"] = stats
+    return out
+
+
 class VggTinyS2D(nn.Module):
     """TPU-native TinyVGG variant: a space-to-depth stem.
 

@@ -226,8 +226,11 @@ class LightWeightOpenPose(nn.Module):
 
 
 class _SepBNBlock(nn.Module):
-    """SeparableConv + BN(relu or none) used by thin/small stage heads
-    (reference: mbv2_th_openpose.py:171-178)."""
+    """dw conv + BN(act) + 1x1 conv + BN(act) — the thin variant's stage
+    head block (reference: mbv2_th_openpose.py:171-178 separable_block:
+    DepthwiseConv2d, BatchNorm2d(act), Conv2d(1x1, b_init=None),
+    BatchNorm2d(act); act applies to BOTH norms, None for the output
+    block)."""
 
     features: int
     kernel: tuple[int, int] = (3, 3)
@@ -237,28 +240,84 @@ class _SepBNBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = DepthwiseConv(kernel=self.kernel, dtype=self.dtype, name="dw")(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         use_fast_variance=False, momentum=0.99,
+                         dtype=self.dtype, name="bn1")(x)
+        if self.act is not None:
+            x = self.act(x)
         x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="pw")(x)
-        x = nn.BatchNorm(use_running_average=not train, use_fast_variance=False, momentum=0.999,
-                         dtype=self.dtype, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         use_fast_variance=False, momentum=0.99,
+                         dtype=self.dtype, name="bn2")(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class SeparableConv(nn.Module):
+    """Single-layer separable conv (dw + 1x1 pw + bias, no BN) — the small
+    variant's stage head block (reference: mbv2_sm_openpose.py:166-170
+    separable_block: one tl.layers.SeparableConv2d). Parameters live under
+    ONE module path ({dw_kernel, pw_kernel, bias}) mirroring the single TL
+    layer, so structural checkpoint import aligns 1:1."""
+
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    act: Callable | None = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax.lax as lax
+
+        cin = x.shape[-1]
+        kh, kw = self.kernel
+        dw = self.param("dw_kernel", nn.initializers.lecun_normal(),
+                        (kh, kw, 1, cin), jnp.float32)
+        pw = self.param("pw_kernel", nn.initializers.lecun_normal(),
+                        (1, 1, cin, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        x = lax.conv_general_dilated(
+            x, dw.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=cin,
+        )
+        x = lax.conv_general_dilated(
+            x, pw.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = x + b.astype(x.dtype)
         if self.act is not None:
             x = self.act(x)
         return x
 
 
 class _SepStage(nn.Module):
-    """Separable-conv stage head (thin/small variants)."""
+    """Separable-conv stage head. style="thin": dw+BN+pw+BN blocks
+    (mbv2_th_openpose.py:106-162); style="small": single separable convs,
+    no BN (mbv2_sm_openpose.py:103-157)."""
 
     n_out: int
     plan: Sequence[tuple[int, int]]
+    style: str = "thin"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, (f, k) in enumerate(self.plan):
-            x = _SepBNBlock(f, (k, k), dtype=self.dtype, name=f"l{i}")(x, train)
-        return _SepBNBlock(self.n_out, (1, 1), act=None, dtype=self.dtype,
-                           name="out")(x, train)
+            if self.style == "thin":
+                x = _SepBNBlock(f, (k, k), dtype=self.dtype,
+                                name=f"l{i}")(x, train)
+            else:
+                x = SeparableConv(f, (k, k), dtype=self.dtype,
+                                  name=f"l{i}")(x)
+        if self.style == "thin":
+            return _SepBNBlock(self.n_out, (1, 1), act=None, dtype=self.dtype,
+                               name="out")(x, train)
+        return SeparableConv(self.n_out, (1, 1), act=None, dtype=self.dtype,
+                             name="out")(x)
 
 
 class _ThinSmallOpenPose(nn.Module):
@@ -271,6 +330,7 @@ class _ThinSmallOpenPose(nn.Module):
     n_refinements: int
     init_plan: Sequence[tuple[int, int]]
     ref_plan: Sequence[tuple[int, int]]
+    style: str = "thin"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -279,18 +339,18 @@ class _ThinSmallOpenPose(nn.Module):
             scale_size=8, dtype=self.dtype, name="backbone"
         )(x, train)
         confs, pafs = [], []
-        conf = _SepStage(self.n_confmaps, self.init_plan, dtype=self.dtype,
-                         name="init_conf")(feats, train)
-        paf = _SepStage(self.n_pafmaps, self.init_plan, dtype=self.dtype,
-                        name="init_paf")(feats, train)
+        conf = _SepStage(self.n_confmaps, self.init_plan, style=self.style,
+                         dtype=self.dtype, name="init_conf")(feats, train)
+        paf = _SepStage(self.n_pafmaps, self.init_plan, style=self.style,
+                        dtype=self.dtype, name="init_paf")(feats, train)
         confs.append(conf)
         pafs.append(paf)
         for i in range(self.n_refinements):
             z = jnp.concatenate([feats, confs[-1], pafs[-1]], axis=-1)
-            conf = _SepStage(self.n_confmaps, self.ref_plan, dtype=self.dtype,
-                             name=f"ref{i}_conf")(z, train)
-            paf = _SepStage(self.n_pafmaps, self.ref_plan, dtype=self.dtype,
-                            name=f"ref{i}_paf")(z, train)
+            conf = _SepStage(self.n_confmaps, self.ref_plan, style=self.style,
+                             dtype=self.dtype, name=f"ref{i}_conf")(z, train)
+            paf = _SepStage(self.n_pafmaps, self.ref_plan, style=self.style,
+                            dtype=self.dtype, name=f"ref{i}_paf")(z, train)
             confs.append(conf)
             pafs.append(paf)
         out = {
@@ -313,7 +373,7 @@ def MobilenetThinOpenpose(
         backbone=backbone or MobilenetThin, n_refinements=5,
         init_plan=[(128, 3), (128, 3), (128, 3), (512, 1)],
         ref_plan=[(128, 3), (128, 3), (128, 3), (128, 1)],
-        dtype=dtype,
+        style="thin", dtype=dtype,
     )
 
 
@@ -328,7 +388,7 @@ def MobilenetSmallOpenpose(
         backbone=backbone or MobilenetSmall, n_refinements=4,
         init_plan=[(128, 3), (128, 3), (128, 3), (512, 1)],
         ref_plan=[(128, 7), (128, 7), (128, 7), (128, 1)],
-        dtype=dtype,
+        style="small", dtype=dtype,
     )
 
 

@@ -21,9 +21,12 @@ src/pifpaf_decoder/openpifpaf_postprocessor.cpp:657-926):
 Everything runs batched under one jit via vmap.
 
 End-to-end validated against a sequential transcription of the reference
-decoder (tests/golden_pifpaf.py + tests/test_pifpaf_golden.py): 100%
-keypoint agreement within 5 px and exact human counts on randomized
-multi-person fields. Intentional divergences from the reference: lazy
+decoder (tests/golden_pifpaf.py + tests/test_pifpaf_golden.py): measured
+96.5% keypoint agreement within 5 px and human-count agreement on 26/32
+randomized multi-person scenes (including 6-8-person crowded scenes,
+where parallel growth and the sequential occupancy order legitimately
+commit different connections); the test asserts >= 94% / >= 75%.
+Intentional divergences from the reference: lazy
 top-C hi-res CIF at float query points (vs dense grid sampled at rounded
 ints), bounded top-K tables, parallel Jacobi growth (vs heapq commit
 order), seed NMS + rank NMS (vs sequential occupancy maps, whose

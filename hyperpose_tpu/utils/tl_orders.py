@@ -31,10 +31,42 @@ def _conv_then_bn(leafdir: str) -> int:
     return {"conv": 0, "dwconv": 0, "bn": 1}.get(leafdir, 0)
 
 
-def _backbone_suborder(path: tuple) -> tuple:
-    """path is the flax layer path minus the leading 'backbone'."""
+def _res_group(head: str) -> tuple[int, int] | None:
+    """'b3_2' -> (3, 2); None if not a resnet block name."""
+    if head.startswith("b") and "_" in head[1:]:
+        g, _, i = head[1:].partition("_")
+        if g.isdigit() and i.isdigit():
+            return int(g), int(i)
+    return None
+
+
+def _resnet50_block_suborder(path: tuple) -> tuple:
+    """Resnet50 Basic_block: the reference constructs the DOWNSAMPLE LayerList
+    BEFORE main_block (backbones.py:652-676), so npz order per block is
+    ds_conv, ds_bn, conv1, bn1, conv2, bn2, conv3, bn3."""
+    g, i = _res_group(path[0])
+    sub = {"ds": 0, "cb1": 1, "cb2": 2, "cb3": 3}[path[1]]
+    return (1, g, i, sub, _conv_then_bn(path[-1]))
+
+
+def _resnet18_block_suborder(path: tuple) -> tuple:
+    """Resnet18 Res_block: main_block (conv1,bn1,conv2,bn2) is constructed
+    BEFORE down_sample (backbones.py:560-576) — the opposite of Resnet50."""
+    g, i = _res_group(path[0])
+    sub = {"cb1": 0, "cb2": 1, "ds": 2}[path[1]]
+    return (1, g, i, sub, _conv_then_bn(path[-1]))
+
+
+def _backbone_suborder(path: tuple, resnet: str = "r50") -> tuple:
+    """path is the flax layer path minus the leading 'backbone'.
+
+    resnet picks the res-block internal order ('r50': downsample-first,
+    'r18': main-first) — the two reference constructors differ and the
+    block names overlap, so the model-level order function must say which
+    family its facade builds (LW-OpenPose ships Resnet50, PoseProposal
+    ships Resnet18)."""
     head = path[0]
-    if head == "stem":                     # MobilenetDilated stem conv+bn
+    if head == "stem":                     # conv+bn stem (mobilenets/resnets)
         return (0, 0, _conv_then_bn(path[-1]))
     if head.startswith("sep_"):            # dw, bn1, pw, bn2 per block
         n = _num_suffix(head, "sep_")
@@ -44,6 +76,10 @@ def _backbone_suborder(path: tuple) -> tuple:
         return (0, _num_suffix(head, "block_"), _conv_then_bn(path[-1]))
     if head.startswith("conv_"):           # VGG19 plain convs
         return (0, _num_suffix(head, "conv_"), 0)
+    if _res_group(head) is not None:       # resnet blocks
+        if resnet == "r18":
+            return _resnet18_block_suborder(path)
+        return _resnet50_block_suborder(path)
     raise KeyError(f"unknown backbone layer {'/'.join(path)}")
 
 
@@ -91,7 +127,67 @@ def openpose_order(path: tuple) -> tuple:
     return (2, stage, b, li, leaf)
 
 
+def ppn_order(path: tuple) -> tuple:
+    """models.pose_proposal.PoseProposal (Resnet18 backbone; reference:
+    pose_proposal/model.py:37-78 — backbone, add_block_1 (conv,bn),
+    add_block_2 (conv,bn), add_block_3 conv)."""
+    top = path[0]
+    if top == "backbone":
+        return (0,) + _backbone_suborder(path[1:], resnet="r18")
+    if top in ("add1", "add2"):
+        return (1, 0 if top == "add1" else 1, _conv_then_bn(path[-1]))
+    if top == "head":
+        return (2, 0, 0)
+    raise KeyError(f"unknown PoseProposal layer {'/'.join(path)}")
+
+
+def pifpaf_order(path: tuple) -> tuple:
+    """models.pifpaf.Pifpaf (Resnet50 stride-16 backbone; reference:
+    pifpaf/model.py:36-60,215-281 — backbone, PifHead conv, PafHead conv)."""
+    top = path[0]
+    if top == "backbone":
+        return (0,) + _backbone_suborder(path[1:], resnet="r50")
+    if top == "pif_head":
+        return (1, 0)
+    if top == "paf_head":
+        return (1, 1)
+    raise KeyError(f"unknown Pifpaf layer {'/'.join(path)}")
+
+
+def _sep_stage_suborder(top: str, path: tuple) -> tuple:
+    """Thin/small stage heads: each stage builds its conf block fully, then
+    its paf block (mbv2_th_openpose.py:106-162, mbv2_sm_openpose.py:103-157).
+    Thin blocks expand to dw/bn1/pw/bn2 member layers; small blocks are
+    single SeparableConv layers."""
+    if top.startswith("init_"):
+        stage, branch = 0, top[5:]
+    elif top.startswith("ref"):
+        n, branch = top[3:].split("_", 1)
+        stage = 1 + int(n)
+    else:
+        raise KeyError(f"unknown stage layer {top}")
+    b = {"conf": 0, "paf": 1}[branch]
+    li = 10**3 if path[1] == "out" else _num_suffix(path[1], "l")
+    sub = ({"dw": 0, "bn1": 1, "pw": 2, "bn2": 3}[path[2]]
+           if len(path) > 2 else 0)
+    return (1, stage, b, li, sub)
+
+
+def thin_small_openpose_order(path: tuple) -> tuple:
+    """models.openpose.MobilenetThinOpenpose / MobilenetSmallOpenpose
+    (reference: mbv2_th_openpose.py:14-45, mbv2_sm_openpose.py:14-45 —
+    backbone, init_stage, refinement stages 1..n)."""
+    top = path[0]
+    if top == "backbone":
+        return (0,) + _backbone_suborder(path[1:])
+    return _sep_stage_suborder(top, path)
+
+
 ORDER_KEYS = {
     "LightweightOpenpose": lw_openpose_order,
     "Openpose": openpose_order,
+    "PoseProposal": ppn_order,
+    "Pifpaf": pifpaf_order,
+    "MobilenetThinOpenpose": thin_small_openpose_order,
+    "MobilenetSmallOpenpose": thin_small_openpose_order,
 }

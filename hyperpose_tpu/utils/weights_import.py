@@ -44,6 +44,10 @@ _TL_KINDS = {
     "moving_mean": "mean", "moving_var": "var",
     "moving_variance": "var",
     "alphas": "alpha", "alpha": "alpha",
+    # tl.layers.SeparableConv2d (one TL layer: dw + pw + bias; used by the
+    # small-openpose stage heads, mbv2_sm_openpose.py:166-170)
+    "depthwise_filters": "dw_kernel", "depthwise_kernel": "dw_kernel",
+    "pointwise_filters": "pw_kernel", "pointwise_kernel": "pw_kernel",
 }
 
 
@@ -81,6 +85,8 @@ def _flax_kind(path_names: tuple[str, ...], collection: str) -> str | None:
     leaf = path_names[-1]
     if collection == "batch_stats":
         return {"mean": "mean", "var": "var"}.get(leaf)
+    if leaf in ("dw_kernel", "pw_kernel"):
+        return leaf
     if leaf == "kernel":
         return "kernel"
     if leaf == "scale":
@@ -220,6 +226,8 @@ def group_flax_layers(variables: dict) -> dict[tuple, FlaxLayer]:
             layer.ltype = "bn"
         elif "alpha" in kinds:
             layer.ltype = "prelu"
+        elif "dw_kernel" in kinds:
+            layer.ltype = "sepconv"
         elif "kernel" in kinds:
             shape = layer.params["kernel"][2]
             layer.ltype = "dense" if len(shape) == 2 else "conv"
@@ -232,6 +240,8 @@ def _tl_layer_type(layer: TlLayer) -> str:
         return "bn"
     if "alpha" in kinds:
         return "prelu"
+    if "dw_kernel" in kinds:
+        return "sepconv"
     if "kernel" in kinds:
         return "dense" if layer.arrays["kernel"].ndim == 2 else "conv"
     return "unknown"
@@ -315,6 +325,16 @@ def import_tl_checkpoint(
                     arr = arr - pending_bias
                 assignments[(coll,) + keypath] = arr
             pending_bias = None
+        elif fl.ltype == "sepconv":
+            for kind in ("dw_kernel", "pw_kernel", "bias"):
+                if kind == "bias" and "bias" not in tl.arrays:
+                    continue  # b_init=None: keep zero init
+                coll, keypath, shape = fl.params[kind]
+                fitted = _adapt(tl.arrays[kind], shape)
+                if fitted is None:
+                    fail(f"sepconv {kind} shape "
+                         f"{tl.arrays[kind].shape} does not fit {shape}", i)
+                assignments[(coll,) + keypath] = fitted
         elif fl.ltype == "prelu":
             coll, keypath, shape = fl.params["alpha"]
             arr = tl.arrays.get("alpha")
@@ -406,9 +426,13 @@ def import_npz_dict(variables: dict, npz_path: str, strict: bool = True):
         logger.warning(msg)
 
     out = _apply_assignments(variables, assignments)
-    logger.info(
-        "imported %d/%d parameters from %s (heuristic kind-stream matcher; "
-        "prefer import_tl_checkpoint for known model families)",
+    logger.warning(
+        "imported %d/%d parameters from %s with the HEURISTIC kind-stream "
+        "matcher, which can silently mis-rotate runs of equal-shaped layers "
+        "(proven in tests/test_tl_import.py::"
+        "test_kind_stream_matcher_would_rotate_cpm). Every facade family "
+        "has an exact structural order now — prefer "
+        "import_tl_checkpoint(variables, path, ORDER_KEYS[model_type]).",
         len(assignments), len(targets), npz_path,
     )
     return out

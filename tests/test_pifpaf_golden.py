@@ -11,8 +11,9 @@ tables; parallel Jacobi frontier growth vs sequential heapq commit order;
 seed NMS + rank-ordered keypoint NMS vs sequential occupancy maps (the
 oracle's corner-occupancy quirk is not reproduced). Agreement is therefore
 asserted as a keypoint-level match RATE with a pixel tolerance, not
-bit-equality: >= 90% of oracle keypoints matched within 5 px aggregate,
-human counts equal on >= 80% of scenes.
+bit-equality: measured 96.5% of oracle keypoints within 5 px over 32
+scenes (26/32 counts equal; crowded 6-8-person subset 94.7%), asserted
+>= 94% aggregate / >= 85% crowded / counts equal on >= 75% of scenes.
 """
 import numpy as np
 import pytest
@@ -130,22 +131,55 @@ def test_two_people_fixture_agrees():
     assert matched / total >= 0.9, f"{matched}/{total} keypoints matched"
 
 
+def decode_ours(fields, cfg=PifPafDecoderConfig()):
+    ours = jax.device_get(pifpaf_decode_batch(fields, cfg, 8, IN_HW))
+    ours_humans = []
+    for hid in np.nonzero(ours.valid[0])[0]:
+        parts = {}
+        for k in np.nonzero(ours.part_valid[0, hid])[0]:
+            x = float(ours.coords[0, hid, k, 0] * IN_HW[1])
+            y = float(ours.coords[0, hid, k, 1] * IN_HW[0])
+            parts[int(k)] = (float(ours.part_scores[0, hid, k]), x, y)
+        ours_humans.append(parts)
+    return ours_humans
+
+
 def test_randomized_match_rate():
-    rng = np.random.default_rng(42)
+    """32 randomized scenes: 24 sparse (1-3 people) + 8 crowded (6-8 people,
+    heavy overlap), matched against PINNED oracle outputs (the sequential
+    transcription costs ~5-40 s/scene, so its deterministic results are
+    committed by golden_pifpaf_fixture.py; the live oracle still runs in
+    test_two_people_fixture_agrees). Thresholds are the measured agreement
+    minus a small margin (measured with this seed: 96.5% keypoints within
+    5 px, counts equal on 26/32 scenes, crowded-subset rate 94.7%) — see
+    ops/pifpaf_decode.py docstring, which states the same numbers."""
+    from golden_pifpaf_fixture import golden_scenes, load_oracle
+
+    oracle_scenes = load_oracle()
     total = matched = 0
+    crowd_total = crowd_matched = 0
     count_agree = 0
-    n_scenes = 8
-    for s in range(n_scenes):
-        fields = random_scene(rng, n_people=int(rng.integers(1, 4)))
-        oracle, ours = decode_both(fields)
+    n_scenes = 0
+    for s, crowded, fields in golden_scenes(random_scene):
+        oracle = oracle_scenes[s]
+        ours = decode_ours(fields)
         t, m = match_stats(oracle, ours)
         total += t
         matched += m
+        n_scenes += 1
+        if crowded:
+            crowd_total += t
+            crowd_matched += m
         count_agree += int(len(oracle) == len(ours))
-    assert total > 40, f"oracle found too few keypoints ({total})"
+    assert total > 1500, f"oracle found too few keypoints ({total})"
     rate = matched / total
-    assert rate >= 0.90, f"keypoint match rate {rate:.3f} ({matched}/{total})"
-    assert count_agree >= int(0.8 * n_scenes), (
+    assert rate >= 0.94, f"keypoint match rate {rate:.3f} ({matched}/{total})"
+    crowd_rate = crowd_matched / max(crowd_total, 1)
+    assert crowd_rate >= 0.85, (
+        f"crowded-scene match rate {crowd_rate:.3f} "
+        f"({crowd_matched}/{crowd_total})"
+    )
+    assert count_agree >= int(0.75 * n_scenes), (
         f"human-count agreement {count_agree}/{n_scenes}"
     )
 

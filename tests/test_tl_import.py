@@ -169,3 +169,152 @@ def test_structural_import_fails_loudly(tmp_path):
     save_tl_npz_dict(swapped, path)
     with pytest.raises(ValueError, match="does not fit"):
         import_tl_checkpoint(variables, path, lw_openpose_order)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 zoo coverage: PoseProposal, PifPaf, MobilenetThin/Small variants
+# ---------------------------------------------------------------------------
+
+def test_ppn_resnet18_structural_import(tmp_path):
+    """Resnet18 build order (main block BEFORE downsample) + PPN head;
+    the reference head convs keep their biases (no BN folding needed for
+    add blocks since our ConvBN uses use_bias=True there)."""
+    from hyperpose_tpu.models.pose_proposal import PoseProposal
+    from hyperpose_tpu.utils.tl_orders import ppn_order
+    from tl_fixtures import ppn_entries
+
+    entries, marks = ppn_entries()
+    path = str(tmp_path / "ppn.npz")
+    save_tl_npz_dict(entries, path)
+    model = PoseProposal()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)), train=True
+    )
+    out = import_tl_checkpoint(variables, path, ppn_order)
+    p = out["params"]
+    assert _leaf(p, "backbone", "stem", "conv", "kernel").flat[0] == \
+        marks["backbone_stem_conv"]
+    # equal-shaped main convs vs downsample within one block: order must
+    # place conv_1, conv_2 first, then the 1x1 downsample (r18 convention)
+    assert _leaf(p, "backbone", "b3_1", "cb1", "conv", "kernel").flat[0] == \
+        marks["backbone_b3_1_conv1"]
+    assert _leaf(p, "backbone", "b3_1", "ds", "conv", "kernel").flat[0] == \
+        marks["backbone_b3_1_ds"]
+    assert _leaf(p, "backbone", "b5_1", "cb2", "conv", "kernel").flat[0] == \
+        marks["backbone_b5_1_conv2"]
+    # head: biases arrive directly (use_bias=True convs)
+    assert _leaf(p, "add1", "conv", "kernel").flat[0] == marks["add1_conv"]
+    assert _leaf(p, "add1", "conv", "bias").flat[0] == marks["add1_bias"]
+    assert _leaf(p, "add2", "conv", "kernel").flat[0] == marks["add2_conv"]
+    assert _leaf(p, "head", "kernel").flat[0] == marks["head_conv"]
+    assert _leaf(p, "head", "bias").flat[0] == marks["head_bias"]
+
+
+def test_pifpaf_resnet50_structural_import(tmp_path):
+    """Resnet50 build order (downsample BEFORE main block — opposite of
+    r18) + the two pixel-shuffle head convs."""
+    from hyperpose_tpu.models.pifpaf import Pifpaf
+    from hyperpose_tpu.utils.tl_orders import pifpaf_order
+    from tl_fixtures import pifpaf_entries
+
+    entries, marks = pifpaf_entries()
+    path = str(tmp_path / "pifpaf.npz")
+    save_tl_npz_dict(entries, path)
+    model = Pifpaf()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=True
+    )
+    out = import_tl_checkpoint(variables, path, pifpaf_order)
+    p = out["params"]
+    assert _leaf(p, "backbone", "stem", "conv", "kernel").flat[0] == \
+        marks["backbone_stem_conv"]
+    # ds-first ordering: within b1_1 the 1x1 ds conv precedes cb1's 1x1 —
+    # both are (1,1,64,...) so only the transcribed order separates them
+    assert _leaf(p, "backbone", "b1_1", "ds", "conv", "kernel").flat[0] == \
+        marks["backbone_b1_1_ds"]
+    assert _leaf(p, "backbone", "b1_1", "cb1", "conv", "kernel").flat[0] == \
+        marks["backbone_b1_1_conv1"]
+    assert _leaf(p, "backbone", "b3_6", "cb3", "conv", "kernel").flat[0] == \
+        marks["backbone_b3_6_conv3"]
+    assert _leaf(p, "backbone", "b4_3", "cb1", "conv", "kernel").flat[0] == \
+        marks["backbone_b4_3_conv1"]
+    assert _leaf(p, "pif_head", "kernel").flat[0] == marks["pif_head"]
+    assert _leaf(p, "pif_head", "bias").flat[0] == marks["pif_head_bias"]
+    assert _leaf(p, "paf_head", "kernel").flat[0] == marks["paf_head"]
+
+
+def test_thin_openpose_structural_import(tmp_path):
+    """Thin variant: conv_block stem bias folds into BN mean; stage blocks
+    are dw+bn1+pw+bn2; conf block fully before paf block per stage."""
+    from hyperpose_tpu.models.openpose import MobilenetThinOpenpose
+    from hyperpose_tpu.utils.tl_orders import thin_small_openpose_order
+    from tl_fixtures import thin_openpose_entries
+
+    entries, marks = thin_openpose_entries()
+    path = str(tmp_path / "thin.npz")
+    save_tl_npz_dict(entries, path)
+    model = MobilenetThinOpenpose()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=True
+    )
+    out = import_tl_checkpoint(variables, path, thin_small_openpose_order)
+    p, bs = out["params"], out["batch_stats"]
+    assert _leaf(p, "backbone", "stem", "conv", "kernel").flat[0] == \
+        marks["backbone_stem_conv"]
+    # bn moving_mean is filled 4 slots after the conv kernel; the conv
+    # bias (kernel+1) folds into it: mean' = mean - bias
+    assert _leaf(bs, "backbone", "stem", "bn", "mean").flat[0] == \
+        (marks["backbone_stem_conv"] + 4) - marks["backbone_stem_bias"]
+    dw = _leaf(p, "backbone", "sep_6", "dw", "dwconv", "kernel")
+    assert dw.shape == (3, 3, 1, 512)
+    assert dw.flat[0] == marks["backbone_sep6_dw"]
+    # stage blocks: equal-shaped 128->128 runs across conf/paf branches
+    assert _leaf(p, "init_conf", "l1", "dw", "dwconv", "kernel").flat[0] == \
+        marks["init_conf_l1_dw"]
+    assert _leaf(p, "init_paf", "l1", "pw", "kernel").flat[0] == \
+        marks["init_paf_l1_pw"]
+    assert _leaf(p, "ref4_paf", "out", "pw", "kernel").flat[0] == \
+        marks["ref4_paf_out_pw"]
+    y = model.apply(
+        {"params": p, "batch_stats": bs},
+        jnp.zeros((1, 64, 64, 3)), train=False,
+    )
+    assert np.asarray(y["conf_map"]).shape == (1, 8, 8, 19)
+
+
+def test_small_openpose_structural_import(tmp_path):
+    """Small variant: stage blocks are single TL SeparableConv2d layers
+    (dw + pw + bias, NO BatchNorm) mapping onto our single-path
+    SeparableConv modules."""
+    from hyperpose_tpu.models.openpose import MobilenetSmallOpenpose
+    from hyperpose_tpu.utils.tl_orders import thin_small_openpose_order
+    from tl_fixtures import small_openpose_entries
+
+    entries, marks = small_openpose_entries()
+    path = str(tmp_path / "small.npz")
+    save_tl_npz_dict(entries, path)
+    model = MobilenetSmallOpenpose()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=True
+    )
+    out = import_tl_checkpoint(variables, path, thin_small_openpose_order)
+    p = out["params"]
+    assert _leaf(p, "backbone", "stem", "conv", "kernel").flat[0] == \
+        marks["backbone_stem_conv"]
+    # sepconv triplets: TF dw [7,7,128,1] -> flax [7,7,1,128]
+    dw = _leaf(p, "ref2_conf", "l1", "dw_kernel")
+    assert dw.shape == (7, 7, 1, 128)
+    assert dw.flat[0] == marks["ref2_conf_l1_dw"]
+    assert _leaf(p, "ref2_conf", "l1", "pw_kernel").flat[0] == \
+        marks["ref2_conf_l1_pw"]
+    assert _leaf(p, "ref2_conf", "l1", "bias").flat[0] == \
+        marks["ref2_conf_l1_bias"]
+    assert _leaf(p, "init_paf", "out", "pw_kernel").flat[0] == \
+        marks["init_paf_out_pw"]
+    y = model.apply(
+        {"params": p, "batch_stats": out["batch_stats"]},
+        jnp.zeros((1, 64, 64, 3)), train=False,
+    )
+    # the small trunk concat sits at stride 4 (reference: backbones.py
+    # MobilenetSmall_backbone forward)
+    assert np.asarray(y["conf_map"]).shape == (1, 16, 16, 19)

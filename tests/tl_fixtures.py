@@ -222,6 +222,243 @@ def openpose_entries(n_confmaps=19, n_pafmaps=38):
     return entries, marks
 
 
+def sepconv2d(name, kh, kw, cin, cout):
+    """tl.layers.SeparableConv2d: dw + pw + bias in ONE layer
+    (mbv2_sm_openpose.py:166-170); TF dw layout [H, W, C, 1]."""
+    return [
+        (f"{name}/depthwise_filters:0", _fill((kh, kw, cin, 1))),
+        (f"{name}/pointwise_filters:0", _fill((1, 1, cin, cout))),
+        (f"{name}/biases:0", _fill((cout,))),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# ResNet backbones
+# ---------------------------------------------------------------------------
+
+def resnet18_backbone_entries():
+    """conv_1_1 (no bias) + bn_1_1, then res blocks 2_1..5_1; per block the
+    MAIN LayerList (conv_1,bn_1,conv_2,bn_2) is constructed before the
+    down_sample (conv,bn) (reference: backbones.py:512-561); all convs
+    b_init=None."""
+    entries, marks = [], {}
+    ce = conv("resnet18_backbone/conv_1_1", 7, 7, 3, 64, bias=False)
+    be = bn("resnet18_backbone/bn_1_1", 64)
+    entries += ce + be
+    marks["backbone_stem_conv"] = ce[0][1].flat[0]
+    blocks = [("2_1", 64, 64, False), ("2_2", 64, 64, False),
+              ("3_1", 64, 128, True), ("3_2", 128, 128, False),
+              ("4_1", 128, 256, True), ("4_2", 256, 256, False),
+              ("5_1", 256, 512, True)]
+    for name, cin, cout, ds in blocks:
+        c1 = conv(f"resnet18_backbone/block_{name}_conv_1", 3, 3, cin, cout,
+                  bias=False)
+        entries += c1 + bn(f"resnet18_backbone/block_{name}_bn_1", cout)
+        c2 = conv(f"resnet18_backbone/block_{name}_conv_2", 3, 3, cout, cout,
+                  bias=False)
+        entries += c2 + bn(f"resnet18_backbone/block_{name}_bn_2", cout)
+        marks[f"backbone_b{name}_conv1"] = c1[0][1].flat[0]
+        marks[f"backbone_b{name}_conv2"] = c2[0][1].flat[0]
+        if ds:
+            cd = conv(f"resnet18_backbone/block_{name}_downsample_conv", 1, 1,
+                      cin, cout, bias=False)
+            entries += cd + bn(f"resnet18_backbone/block_{name}_downsample_bn",
+                               cout)
+            marks[f"backbone_b{name}_ds"] = cd[0][1].flat[0]
+    return entries, marks
+
+
+def resnet50_backbone_entries():
+    """conv1 (no bias) + bn1, bottleneck blocks 1_1..4_3; per block the
+    DOWNSAMPLE LayerList is constructed BEFORE main_block (reference:
+    backbones.py:587-697) — the opposite of resnet18."""
+    entries, marks = [], {}
+    ce = conv("resnet50_backbone/conv1", 7, 7, 3, 64, bias=False)
+    be = bn("resnet50_backbone/bn1", 64)
+    entries += ce + be
+    marks["backbone_stem_conv"] = ce[0][1].flat[0]
+    plan = [(1, 64, 64, 3), (2, 256, 128, 4), (3, 512, 256, 6),
+            (4, 1024, 512, 3)]
+    for g, cin0, n, count in plan:
+        for i in range(1, count + 1):
+            cin = cin0 if i == 1 else 4 * n
+            name = f"block_{g}_{i}"
+            has_ds = (i == 1)  # strides != 1 or cin != 4n on first block
+            if has_ds:
+                cd = conv(f"resnet50_backbone/{name}_ds_conv1", 1, 1, cin,
+                          4 * n, bias=False)
+                entries += cd + bn(f"resnet50_backbone/{name}_ds_bn1", 4 * n)
+                marks[f"backbone_b{g}_{i}_ds"] = cd[0][1].flat[0]
+            c1 = conv(f"resnet50_backbone/{name}_conv1", 1, 1, cin, n,
+                      bias=False)
+            entries += c1 + bn(f"resnet50_backbone/{name}_bn1", n)
+            c2 = conv(f"resnet50_backbone/{name}_conv2", 3, 3, n, n,
+                      bias=False)
+            entries += c2 + bn(f"resnet50_backbone/{name}_bn2", n)
+            c3 = conv(f"resnet50_backbone/{name}_conv3", 1, 1, n, 4 * n,
+                      bias=False)
+            entries += c3 + bn(f"resnet50_backbone/{name}_bn3", 4 * n)
+            marks[f"backbone_b{g}_{i}_conv1"] = c1[0][1].flat[0]
+            marks[f"backbone_b{g}_{i}_conv3"] = c3[0][1].flat[0]
+    return entries, marks
+
+
+# ---------------------------------------------------------------------------
+# PoseProposal (pose_proposal/model.py:37-78)
+# ---------------------------------------------------------------------------
+
+def ppn_entries(K=18, L=17, hnei=9, wnei=9):
+    _reset()
+    entries, marks = resnet18_backbone_entries()
+    out_dim = 6 * K + hnei * wnei * L
+    for i, name in enumerate(("add_block_1", "add_block_2")):
+        ce = conv(f"model/{name}_conv_1", 3, 3, 512, 512)     # bias kept
+        be = bn(f"model/{name}_bn_1", 512)
+        entries += ce + be
+        marks[f"add{i+1}_conv"] = ce[0][1].flat[0]
+        marks[f"add{i+1}_bias"] = ce[1][1].flat[0]
+    ce = conv("model/add_block_3_conv_1", 1, 1, 512, out_dim)
+    entries += ce
+    marks["head_conv"] = ce[0][1].flat[0]
+    marks["head_bias"] = ce[1][1].flat[0]
+    return entries, marks
+
+
+# ---------------------------------------------------------------------------
+# PifPaf (pifpaf/model.py:36-60,215-281)
+# ---------------------------------------------------------------------------
+
+def pifpaf_entries(n_pos=17, n_limbs=19, quad_size=2):
+    _reset()
+    entries, marks = resnet50_backbone_entries()
+    q2 = quad_size ** 2
+    ce = conv("model/pif_head_conv", 1, 1, 2048, n_pos * 5 * q2)
+    entries += ce
+    marks["pif_head"] = ce[0][1].flat[0]
+    marks["pif_head_bias"] = ce[1][1].flat[0]
+    ce = conv("model/paf_head_conv", 1, 1, 2048, n_limbs * 9 * q2)
+    entries += ce
+    marks["paf_head"] = ce[0][1].flat[0]
+    return entries, marks
+
+
+# ---------------------------------------------------------------------------
+# Mobilenet-Thin / -Small OpenPose (mbv2_th_openpose.py, mbv2_sm_openpose.py)
+# ---------------------------------------------------------------------------
+
+def _sep_bn_block(name, kh, kw, cin, cout, marks, mark):
+    """Thin separable_block: dw (no bias) + bn(cin) + pw (no bias) +
+    bn(cout) (mbv2_th_openpose.py:171-178)."""
+    de = dwconv(f"{name}_dw", kh, kw, cin)
+    b1 = bn(f"{name}_bn1", cin)
+    pe = conv(f"{name}_pw", 1, 1, cin, cout, bias=False)
+    b2 = bn(f"{name}_bn2", cout)
+    marks[f"{mark}_dw"] = de[0][1].flat[0]
+    marks[f"{mark}_pw"] = pe[0][1].flat[0]
+    return de + b1 + pe + b2
+
+
+def mobilenet_thin_backbone_entries():
+    """conv_block_0 (conv WITH bias + bn) then 11 thin separable blocks
+    (backbones.py:250-297)."""
+    entries, marks = [], {}
+    ce = conv("mobilenetthin_backbone/convblock_0_conv", 3, 3, 3, 32)
+    be = bn("mobilenetthin_backbone/convblock_0_bn", 32)
+    entries += ce + be
+    marks["backbone_stem_conv"] = ce[0][1].flat[0]
+    marks["backbone_stem_bias"] = ce[1][1].flat[0]
+    dims = [(32, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+            (256, 512), (512, 512), (512, 512), (512, 512), (512, 512),
+            (512, 512)]
+    for i, (cin, cout) in enumerate(dims):
+        entries += _sep_bn_block(
+            f"mobilenetthin_backbone/convblock_{i+1}", 3, 3, cin, cout,
+            marks, f"backbone_sep{i}",
+        )
+    return entries, marks
+
+
+def mobilenet_small_backbone_entries():
+    """conv_block_0 (conv WITH bias + bn) then 7 thin-style separable blocks
+    (backbones.py:299-341)."""
+    entries, marks = [], {}
+    ce = conv("mobilenetsmall_backbone/convblock_0_conv", 3, 3, 3, 32)
+    be = bn("mobilenetsmall_backbone/convblock_0_bn", 32)
+    entries += ce + be
+    marks["backbone_stem_conv"] = ce[0][1].flat[0]
+    marks["backbone_stem_bias"] = ce[1][1].flat[0]
+    dims = [(32, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+            (256, 512), (512, 512)]
+    for i, (cin, cout) in enumerate(dims):
+        entries += _sep_bn_block(
+            f"mobilenetsmall_backbone/convblock_{i+1}", 3, 3, cin, cout,
+            marks, f"backbone_sep{i}",
+        )
+    return entries, marks
+
+
+def thin_openpose_entries(n_confmaps=19, n_pafmaps=38):
+    """Backbone + init stage + 5 refinement stages; each stage builds its
+    conf block (5 thin separable blocks) fully, then its paf block
+    (mbv2_th_openpose.py:14-162)."""
+    _reset()
+    entries, marks = mobilenet_thin_backbone_entries()
+    bb_out = 1152
+
+    def stage(tag, in_ch, plans, nout):
+        seq = []
+        specs = list(plans) + [(nout, 1)]
+        cin = in_ch
+        for i, (f, k) in enumerate(specs):
+            mark = f"{tag}_l{i}" if i < len(plans) else f"{tag}_out"
+            seq.extend(_sep_bn_block(f"model/{tag}_sep{i}", k, k, cin, f,
+                                     marks, mark))
+            cin = f
+        return seq
+
+    init_plan = [(128, 3), (128, 3), (128, 3), (512, 1)]
+    ref_plan = [(128, 3), (128, 3), (128, 3), (128, 1)]
+    entries += stage("init_conf", bb_out, init_plan, n_confmaps)
+    entries += stage("init_paf", bb_out, init_plan, n_pafmaps)
+    in_ch = bb_out + n_confmaps + n_pafmaps
+    for r in range(5):
+        entries += stage(f"ref{r}_conf", in_ch, ref_plan, n_confmaps)
+        entries += stage(f"ref{r}_paf", in_ch, ref_plan, n_pafmaps)
+    return entries, marks
+
+
+def small_openpose_entries(n_confmaps=19, n_pafmaps=38):
+    """Backbone + init stage + 4 refinement stages; stage blocks are single
+    SeparableConv2d layers, NO BatchNorm (mbv2_sm_openpose.py:14-157)."""
+    _reset()
+    entries, marks = mobilenet_small_backbone_entries()
+    bb_out = 704
+
+    def stage(tag, in_ch, plans, nout):
+        seq = []
+        specs = list(plans) + [(nout, 1)]
+        cin = in_ch
+        for i, (f, k) in enumerate(specs):
+            mark = f"{tag}_l{i}" if i < len(plans) else f"{tag}_out"
+            se = sepconv2d(f"model/{tag}_sepconv{i}", k, k, cin, f)
+            marks[f"{mark}_dw"] = se[0][1].flat[0]
+            marks[f"{mark}_pw"] = se[1][1].flat[0]
+            marks[f"{mark}_bias"] = se[2][1].flat[0]
+            seq.extend(se)
+            cin = f
+        return seq
+
+    init_plan = [(128, 3), (128, 3), (128, 3), (512, 1)]
+    ref_plan = [(128, 7), (128, 7), (128, 7), (128, 1)]
+    entries += stage("init_conf", bb_out, init_plan, n_confmaps)
+    entries += stage("init_paf", bb_out, init_plan, n_pafmaps)
+    in_ch = bb_out + n_confmaps + n_pafmaps
+    for r in range(4):
+        entries += stage(f"ref{r}_conf", in_ch, ref_plan, n_confmaps)
+        entries += stage(f"ref{r}_paf", in_ch, ref_plan, n_pafmaps)
+    return entries, marks
+
+
 def save_tl_npz_dict(entries, path):
     """Write entries preserving order, exactly like tl.files
     save_npz_dict (np.savez keeps kwargs insertion order in the zip)."""
