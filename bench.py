@@ -61,12 +61,15 @@ def main():
     #          3-channel first conv is lane-bound (b8: 1537 vs 1003 fps)
     #          but pays 4x stem FLOPs, losing at large batch.
     #   fused: packed conv0 + Pallas conv1+BN+relu+pool in VMEM
-    #          (ops/pallas/stem_kernel.py) — removes the full-res
-    #          activation HBM round-trips that bound the stem at large
-    #          batch. Default at batch >= 64; BENCH_STEM overrides.
+    #          (ops/pallas/stem_kernel.py). Measured SLOWER at b128 (1271
+    #          vs 1747 fps): the Mosaic matmul pipeline runs the strip
+    #          contractions at ~27 TF/s vs XLA's 122 on the same math
+    #          (docs/performance.md "Fused-stem ablation") — kept as a
+    #          documented negative result, selectable via BENCH_STEM=fused.
+    # Default follows the measured winner per batch regime.
     stem = os.environ.get("BENCH_STEM", "")
     if not stem:
-        stem = "s2d" if batch < 64 else "fused"
+        stem = "s2d" if batch < 64 else "plain"
     hw = (368, 432)
     feat_hw = (hw[0] // 8, hw[1] // 8)
 

@@ -293,11 +293,13 @@ class VggTinyFusedStem(nn.Module):
     float roundoff. blocks 2.. are identical to VggTiny.
 
     conv0p computes block_0 on the 2-pixel-packed image: input
-    (B, H, W/2, 6) [pair-packed RGB], output (B, H, W/2, 64) packing both
-    x-phases' 32 channels into lanes; its (3,3,6,64) kernel is the phase
-    decomposition of block_0's (3,3,3,32) (see remap; 50% structural zeros,
-    but block_0 is 0.4% of the net's FLOPs and this keeps lanes full and
-    the layout aligned for the fused kernel).
+    (B, H, W/2, 6) [pair-packed RGB], output (B, H, W/2, 128) holding
+    block_0's 32 channels at x = 2q+off for off in {-1, 0, 1, 2} — i.e.
+    the x-direction im2col the fused kernel consumes, emitted directly so
+    the Pallas kernel performs no data rearrangement. Each full-res
+    position is computed twice (block_0 is 0.4% of the net's FLOPs); its
+    (3,3,6,128) kernel is the phase decomposition of block_0's (3,3,3,32)
+    (see remap_vggtiny_to_fused).
     """
 
     scale_size: int = 8
@@ -317,7 +319,7 @@ class VggTinyFusedStem(nn.Module):
             )
         b, h, w, c = x.shape
         xp = x.reshape(b, h, w // 2, 2 * c)
-        a0p = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype,
+        a0p = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype,
                               name="conv0p")(xp))
         w1p = self.param("w1p", nn.initializers.zeros, (3, 128, 128),
                          jnp.float32)
@@ -357,9 +359,10 @@ def remap_vggtiny_to_fused(variables: dict) -> dict:
     included) into VggTinyFusedStem variables computing the identical
     function at inference.
 
-    block_0 (conv+BN) -> conv0p: W0p[dy, kq, 3*px+ci, 32*p+co] =
-    W0fold[dy, dx+1, ci, co] at dx = 2*(kq-1)+px-p when |dx| <= 1, else 0
-    (x_in = 2*(q+kq-1)+px, x_out = 2*q+p on the pair grid).
+    block_0 (conv+BN) -> conv0p: W0p[dy, kq, 3*px+ci, 32*(off+1)+co] =
+    W0fold[dy, dx+1, ci, co] at dx = 2*(kq-1)+px-off when |dx| <= 1, else 0
+    (x_in = 2*(q+kq-1)+px, x_out = 2*q+off for off in {-1, 0, 1, 2}: the
+    output lanes are the x-im2col the fused kernel reads directly).
 
     block_1 (conv+BN) -> (w1p, b1p) for the fused kernel: per dy, the
     128x128 matrix reading the kernel's bt lane layout
@@ -383,15 +386,16 @@ def remap_vggtiny_to_fused(variables: dict) -> dict:
     w0f, b0f = _fold_bn(*bn_of("block_0", bb, bstats))     # (3,3,3,32),(32,)
     w1f, b1f = _fold_bn(*bn_of("block_1", bb, bstats))     # (3,3,32,64),(64,)
 
-    w0p = np.zeros((3, 3, 6, 64), np.float32)
+    w0p = np.zeros((3, 3, 6, 128), np.float32)
     for kq in range(3):
         for px in range(2):
-            for p in range(2):
-                dx = 2 * (kq - 1) + px - p
+            for off in (-1, 0, 1, 2):
+                dx = 2 * (kq - 1) + px - off
                 if abs(dx) <= 1:
-                    w0p[:, kq, 3 * px: 3 * px + 3, 32 * p: 32 * p + 32] = \
+                    lo = 32 * (off + 1)
+                    w0p[:, kq, 3 * px: 3 * px + 3, lo: lo + 32] = \
                         w0f[:, dx + 1]
-    b0p = np.tile(b0f, 2)
+    b0p = np.tile(b0f, 4)
 
     w1p = np.zeros((3, 128, 128), np.float32)
     for off in (-1, 0, 1, 2):

@@ -9,13 +9,16 @@ block_1 + BN + relu + pool1 per image entirely in VMEM: the full-res
 activation never exists in HBM — only the pooled (H/2, W/2, 64) output is
 written.
 
-Formulation (x-pair packing): the input arrives as a0p [B, H, W/2, 64]
-where lanes pack two adjacent x-positions of block_0's 32-channel output
-(produced directly by an XLA conv over the 2-pixel-packed image — see
-models.backbones.VggTinyFusedStem). For each output pair q the 3x3 conv
-over x in {2q-1..2q+2} becomes, per dy, ONE 128-wide contraction:
+Formulation (x-pair packing): the input arrives as bt [B, H, W/2, 128]
+where lane block 32*(off+1)+ci holds block_0's 32-channel output at
+x = 2q+off for off in {-1, 0, 1, 2} — the x-direction im2col of the pair
+grid, emitted DIRECTLY by the packed XLA conv0 (each full-res x-position
+is computed into two adjacent pair rows; block_0 is 0.4% of the net's
+FLOPs, so the duplication is free and the kernel needs zero in-kernel
+data rearrangement — Mosaic rejects lane-offset pad/concat shuffles).
+For each output pair q the 3x3 conv over x in {2q-1..2q+2} becomes, per
+dy, ONE 128-deep contraction:
 
-    bt[y, q, :] = [a0p[y, q-1, 32:64] | a0p[y, q, :64] | a0p[y, q+1, 0:32]]
     y1p[y, q, 64p+co] = sum_dy bt[y+dy, q, :] @ W1p[dy][:, 64p+co]
 
 i.e. three (rows*W/2, 128) x (128, 128) MXU matmuls per row-strip — full
@@ -51,30 +54,29 @@ def _pick_strip(h: int, max_rows: int = 48) -> int:
 
 
 def _conv1_pool_kernel(a_ref, w_ref, b_ref, out_ref, *, strip: int):
-    """One image: a0p [1, H+2, Q, 64] (y zero-padded) ->
-    out [1, H/2, Q, 64]."""
-    a = a_ref[0]                      # (H+2, Q, 64)
-    hp, q, _ = a.shape
-    h = hp - 2
-    # x-direction im2col, built once with q-shifts (sublane dim):
-    # lanes 0:32   <- x = 2q-1  (pair q-1, position 1)
-    # lanes 32:96  <- x = 2q, 2q+1 (pair q)
-    # lanes 96:128 <- x = 2q+2  (pair q+1, position 0)
-    left = jnp.pad(a[:, :-1, 32:64], ((0, 0), (1, 0), (0, 0)))
-    right = jnp.pad(a[:, 1:, 0:32], ((0, 0), (0, 1), (0, 0)))
-    bt = jnp.concatenate([left, a, right], axis=-1)   # (H+2, Q, 128)
+    """One image: bt [1, H+2, Q, 128] (y zero-padded x-im2col of block_0's
+    packed output) -> out [1, H/2, Q, 64].
 
+    Per strip, the 3 dy taps are fused into ONE K=384 MXU contraction
+    (lane-concat of three full-lane dy slices; accumulation happens inside
+    the MXU) — three separate K=128 dots + f32 vector adds measured ~8x
+    slower (the adds churn a 5 MB accumulator through the VPU per strip)."""
+    hp, q = a_ref.shape[1], a_ref.shape[2]
+    h = hp - 2
     bias = b_ref[0].astype(jnp.float32)               # (128,)
+    w = w_ref[...].reshape(3 * 128, 128)              # dy-major rows
     n_strips = h // strip
     for i in range(n_strips):                          # static unroll
-        acc = jnp.zeros((strip * q, 128), jnp.float32)
-        for dy in range(3):
-            blk = bt[i * strip + dy: i * strip + dy + strip]
-            acc = acc + lax.dot_general(
-                blk.reshape(strip * q, 128), w_ref[dy],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        blk = jnp.concatenate(
+            [a_ref[0, i * strip + dy: i * strip + dy + strip]
+             for dy in range(3)],
+            axis=-1,
+        )                                              # (strip, Q, 384)
+        acc = lax.dot_general(
+            blk.reshape(strip * q, 3 * 128), w,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         y = jnp.maximum(acc + bias, 0.0).reshape(strip, q, 128)
         y = jnp.maximum(y[:, :, :64], y[:, :, 64:])    # max over x-pair
         y = y.reshape(strip // 2, 2, q, 64)
@@ -86,7 +88,7 @@ def _conv1_pool_kernel(a_ref, w_ref, b_ref, out_ref, *, strip: int):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_conv1_pool(
-    a0p: jax.Array,    # [B, H, W/2, 64] packed block_0 output (post-relu)
+    btp: jax.Array,    # [B, H, W/2, 128] x-im2col'd packed block_0 output
     w1p: jax.Array,    # [3, 128, 128] dy-major packed folded conv1 weights
     b1p: jax.Array,    # [128] packed folded bias
     interpret: bool = False,
@@ -94,16 +96,21 @@ def fused_conv1_pool(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, h, q, c = a0p.shape
-    assert c == 64 and h % 2 == 0, (h, c)
+    b, h, q, c = btp.shape
+    assert c == 128 and h % 2 == 0, (h, c)
     strip = _pick_strip(h)
-    a_pad = jnp.pad(a0p, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    # The packed conv0 evaluates its off=-1 / off=+2 lane blocks OUTSIDE
+    # the image at the q borders (bias+relu leaks through); block_1's SAME
+    # padding semantics require zeros there.
+    btp = btp.at[:, :, 0, 0:32].set(0.0)
+    btp = btp.at[:, :, q - 1, 96:128].set(0.0)
+    a_pad = jnp.pad(btp, ((0, 0), (1, 1), (0, 0), (0, 0)))
     kernel = functools.partial(_conv1_pool_kernel, strip=strip)
     out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h + 2, q, 64), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, h + 2, q, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -112,19 +119,24 @@ def fused_conv1_pool(
         ],
         out_specs=pl.BlockSpec((1, h // 2, q, 64), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h // 2, q, 64), a0p.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h // 2, q, 64), btp.dtype),
+        # Whole-image blocks: in 20.5 MB + out 10.2 MB, double-buffered by
+        # the pipeline -> ~61 MB; the default 16 MB scoped-vmem cap is a
+        # compiler guard, not the hardware (v5e has 128 MB VMEM).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(a_pad, w1p, b1p.reshape(1, 128))
     return out
 
 
-def fused_conv1_pool_reference(a0p, w1p, b1p):
+def fused_conv1_pool_reference(btp, w1p, b1p):
     """Plain-XLA oracle of the kernel semantics (tests)."""
-    b, h, q, _ = a0p.shape
-    left = jnp.pad(a0p[:, :, :-1, 32:64], ((0, 0), (0, 0), (1, 0), (0, 0)))
-    right = jnp.pad(a0p[:, :, 1:, 0:32], ((0, 0), (0, 0), (0, 1), (0, 0)))
-    bt = jnp.concatenate([left, a0p, right], axis=-1)
-    bt = jnp.pad(bt, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    b, h, q, _ = btp.shape
+    btp = btp.at[:, :, 0, 0:32].set(0.0)
+    btp = btp.at[:, :, q - 1, 96:128].set(0.0)
+    bt = jnp.pad(btp, ((0, 0), (1, 1), (0, 0), (0, 0)))
     acc = sum(
         jnp.einsum("bhqc,cd->bhqd", bt[:, dy: dy + h].astype(jnp.float32),
                    w1p[dy].astype(jnp.float32))
@@ -133,4 +145,4 @@ def fused_conv1_pool_reference(a0p, w1p, b1p):
     y = jnp.maximum(acc + b1p.astype(jnp.float32), 0.0)
     y = jnp.maximum(y[..., :64], y[..., 64:])
     y = y.reshape(b, h // 2, 2, q, 64).max(axis=2)
-    return y.astype(a0p.dtype)
+    return y.astype(btp.dtype)

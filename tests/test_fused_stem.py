@@ -40,7 +40,7 @@ def _randomize_bn(variables, rng):
 
 def test_kernel_matches_xla_oracle():
     rng = np.random.default_rng(0)
-    a0p = jnp.asarray(rng.normal(0, 1, (2, 24, 16, 64)), jnp.float32)
+    a0p = jnp.asarray(rng.normal(0, 1, (2, 24, 16, 128)), jnp.float32)
     w1p = jnp.asarray(rng.normal(0, 0.1, (3, 128, 128)), jnp.float32)
     b1p = jnp.asarray(rng.normal(0, 0.1, (128,)), jnp.float32)
     got = fused_conv1_pool(a0p, w1p, b1p, interpret=True)

@@ -67,6 +67,9 @@ def main():
         args.dataset_path = ensure_synthetic_dataset(
             args.dataset_path, seed=args.synthetic_seed
         )
+        if args.dataset_type == "MPII":
+            # the MPII-format twin lives under <root>/mpii
+            args.dataset_path = os.path.join(args.dataset_path, "mpii")
     Config.set_dataset_path(args.dataset_path)
     Config.set_train_type(Config.TRAIN[args.train_type])
     Config.set_kungfu_option(Config.SYNC[args.sync_type])
