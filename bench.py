@@ -46,12 +46,28 @@ from hyperpose_tpu.ops.paf_decode import PafDecoderConfig, paf_decode_batch
 BASELINE_FPS = 124.925
 
 
+def _provenance() -> dict:
+    import datetime
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    return {"commit": commit,
+            "date": datetime.date.today().isoformat()}
+
+
 def main():
     # Batch 128 is the measured throughput-optimal batch for this model on
-    # one v5e chip (sweep: 8->909, 16->900, 64->1120, 128->1410, 192->1261
-    # fps); the small-channel early convs are lane-bound and amortize with
-    # batch, exactly like the reference's greedy max_batch_size batching
-    # (reference: stream.hpp:338).
+    # one v5e chip (recorded sweep in BENCH_SELF.txt: b8 1003 / b128 1747
+    # fps plain stem); the small-channel early convs are lane-bound and
+    # amortize with batch, exactly like the reference's greedy
+    # max_batch_size batching (reference: stream.hpp:338).
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "100"))
     # Serving stem — three EXACT forms of the same checkpoint (any trained
@@ -135,6 +151,7 @@ def main():
             "ms_per_frame": round(1000 * best / (batch * steps), 3),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+            **_provenance(),
         },
     }))
 

@@ -33,6 +33,24 @@ from hyperpose_tpu.ops.pifpaf_decode import (
 )
 from hyperpose_tpu.ops.ppn_decode import PpnDecoderConfig, ppn_decode_batch
 
+def provenance() -> dict:
+    """Commit + date stamp so every recorded row is attributable
+    (VERDICT r2 #9: no un-dated benchmark rows)."""
+    import datetime
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    return {"commit": commit,
+            "date": datetime.date.today().isoformat()}
+
+
 ROWS = [
     # (name, builder, hw, reference fps)
     ("openpose_vgg19_656x368", lambda: OpenPose(dtype=jnp.bfloat16),
@@ -128,7 +146,8 @@ def bench_one(name, builder, hw, ref_fps, batch=8, steps=100):
     print(json.dumps({
         "metric": name, "value": round(fps, 2), "unit": "frames/s",
         "vs_baseline": round(fps / ref_fps, 3) if ref_fps else None,
-        "detail": {"batch": batch, "compile_s": round(compile_s, 1)},
+        "detail": {"batch": batch, "compile_s": round(compile_s, 1),
+                   **provenance()},
     }), flush=True)
     return fps
 

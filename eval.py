@@ -27,6 +27,9 @@ def parse_args():
     parser.add_argument("--weights", type=str, default=None,
                         help="npz weights path; defaults to "
                              "<model_dir>/newest_model.npz")
+    parser.add_argument("--input_hw", type=str, default=None,
+                        help="override model input as HxW (e.g. 240x320); "
+                        "output grid scales by the family stride")
     parser.add_argument("--synthetic", action="store_true",
                         help="evaluate on the deterministic synthetic "
                              "multi-person benchmark (generated under "
@@ -42,6 +45,14 @@ def main():
     Config.set_model_backbone(Config.BACKBONE[args.model_backbone])
     Config.set_dataset_type(Config.DATA[args.dataset_type])
     Config.set_dataset_version(args.dataset_version)
+    if args.input_hw:
+        hin, win = (int(v) for v in args.input_hw.lower().split("x"))
+        # keep the family's hout/hin ratio (stride): read defaults first
+        base = Config.get_config(create_dirs=False)
+        stride_h = base.model.hin // base.model.hout
+        stride_w = base.model.win // base.model.wout
+        Config.set_model_inout(hin=hin, win=win, hout=hin // stride_h,
+                               wout=win // stride_w)
     if args.synthetic:
         from hyperpose_tpu.data.synthetic import ensure_synthetic_dataset
 

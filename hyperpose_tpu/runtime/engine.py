@@ -41,13 +41,15 @@ def default_max_batch_size(input_hw: tuple[int, int]) -> int:
     """Auto-size the engine batch to the measured optimum for the backend.
 
     On TPU the early small-channel convs are lane-bound and amortize with
-    batch; the measured sweep for TinyVGG 432x368 on one v5e chip is
-    8->909, 64->1120, 128->1410, 192->1261 fps (docs/performance.md), so
-    the default is 128 scaled down for larger resolutions by activation
-    footprint (keeps peak activation HBM roughly constant). On CPU (tests,
-    dev) large static batches only slow compilation down, so keep 8.
-    The reference leaves this to the user (max_batch_size=8 default,
-    reference: include/hyperpose/operator/dnn/tensorrt.hpp:46)."""
+    batch: the recorded sweep for TinyVGG 432x368 on one v5e chip
+    (BENCH_SELF.txt, `BENCH_BATCH=n python bench.py`) is 8 -> 1003 fps
+    (plain stem; the S2D serving stem reaches 1537 at this batch) and
+    128 -> 1747 fps, so the default is 128, scaled down for larger
+    resolutions by activation footprint (keeps peak activation HBM
+    roughly constant). On CPU (tests, dev) large static batches only slow
+    compilation down, so keep 8. The reference leaves this to the user
+    (max_batch_size=8 default, reference:
+    include/hyperpose/operator/dnn/tensorrt.hpp:46)."""
     import jax
 
     if jax.default_backend() not in ("tpu", "axon"):
