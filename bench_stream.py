@@ -20,6 +20,21 @@ import numpy as np
 VIDEO = "/tmp/bench_stream_640x360.mp4"
 
 
+def _provenance() -> dict:
+    import datetime
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    return {"commit": commit, "date": datetime.date.today().isoformat()}
+
+
 def ensure_video(n_frames: int, hw=(360, 640), seed=0) -> str:
     """Synthesize the test video once: moving articulated figures over a
     textured background (cv2; no network needed)."""
@@ -111,6 +126,7 @@ def main():
             "write_output": bool(args.write_output),
             "stats": {k: v for k, v in stats.items()
                       if isinstance(v, (int, float))},
+            **_provenance(),
         },
     }))
 

@@ -27,9 +27,17 @@ from hyperpose_tpu import config as Config
 from hyperpose_tpu.data.base import get_dataset
 from hyperpose_tpu.data.synthetic import ensure_synthetic_dataset
 from hyperpose_tpu.models import get_topology
-from test_accuracy_loop_pifpaf import (
-    IN_HW, GtPaintedPifPafEvaluator, paint_raw_predict,
-)
+import test_accuracy_loop_pifpaf as _T
+
+# PIFPAF_HW=240x320 overrides the eval resolution (the decoder is
+# resolution-generic; used for the reduced-res trained-row denominator).
+if os.environ.get("PIFPAF_HW"):
+    _h, _w = (int(v) for v in os.environ["PIFPAF_HW"].lower().split("x"))
+    _T.IN_HW = (_h, _w)
+    _T.FEAT_HW = (_h // 8, _w // 8)
+IN_HW = _T.IN_HW
+GtPaintedPifPafEvaluator = _T.GtPaintedPifPafEvaluator
+paint_raw_predict = _T.paint_raw_predict
 
 
 def main():
