@@ -34,6 +34,10 @@ def parse_args():
     p.add_argument("--runtime", type=str, default="operator",
                    choices=["operator", "stream"])
     p.add_argument("--keep_ratio", action="store_true")
+    p.add_argument("--low_latency", action="store_true", default=None,
+                   help="dispatch partial batches immediately instead of "
+                   "topping up to the full compiled batch (auto-enabled "
+                   "for cameras and --imshow)")
     p.add_argument("--imshow", action="store_true",
                    help="display annotated frames in a window "
                         "(reference: cli.cpp --imshow)")
@@ -175,6 +179,7 @@ def run_stream(args, engine, topo):
     stats = sp.process_video(
         source, out_path, topology=topo, limit=args.limit,
         alpha=args.alpha, imshow=args.imshow,
+        low_latency=args.low_latency,
     )
     print(
         f"stream mode: {stats['frames']} frames in {stats['seconds']:.2f}s "
