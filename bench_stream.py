@@ -73,6 +73,13 @@ def main():
     ap.add_argument("--write_output", action="store_true",
                     help="also draw + encode an output video (the "
                     "reference protocol writes one)")
+    ap.add_argument("--yuv", action="store_true",
+                    help="YUV 4:2:0 compressed infeed (halves the "
+                    "host->device bytes; this environment's tunnel is the "
+                    "stream bottleneck)")
+    ap.add_argument("--host_only", action="store_true",
+                    help="replace the device step with a no-op to measure "
+                    "the host pipeline ceiling (read+preproc+batch+emit)")
     args = ap.parse_args()
 
     import jax
@@ -97,11 +104,37 @@ def main():
     kwargs = {}
     if args.max_batch_size:
         kwargs["max_batch_size"] = args.max_batch_size
+    if args.yuv:
+        kwargs["input_format"] = "yuv420"
     engine = PoseEngine(
         model, variables, input_hw=(cfg.model.hin, cfg.model.win),
         fused_decode=Model._fused_decode_for(cfg, model), **kwargs,
     )
-    compile_s = engine.warmup()
+    if args.host_only:
+        import types
+
+        class _HostOnlyEngine:
+            """Engine facade whose device step is a host no-op: measures
+            the pure host pipeline (decode+preproc+batch+emit) ceiling."""
+
+            input_hw = engine.input_hw
+            max_batch_size = engine.max_batch_size
+
+            @staticmethod
+            def infer_batch_device(batch):
+                b = batch.shape[0]
+                return types.SimpleNamespace(
+                    coords=np.zeros((b, 8, 19, 2), np.float32),
+                    part_scores=np.zeros((b, 8, 19), np.float32),
+                    part_valid=np.zeros((b, 8, 19), bool),
+                    scores=np.zeros((b, 8), np.float32),
+                    valid=np.zeros((b, 8), bool),
+                )
+
+        engine = _HostOnlyEngine()
+        compile_s = 0.0
+    else:
+        compile_s = engine.warmup()
 
     stream = StreamProcessor(engine)
     t0 = time.perf_counter()
@@ -114,8 +147,10 @@ def main():
     frames = stats.get("frames", args.frames)
     fps = frames / wall
     print(json.dumps({
-        "metric": f"stream_fps_{args.backbone.lower()}_"
-                  f"{cfg.model.win}x{cfg.model.hin}",
+        "metric": ("stream_host_only" if args.host_only else
+                   f"stream_fps_{args.backbone.lower()}_"
+                   f"{cfg.model.win}x{cfg.model.hin}"
+                   + ("_yuv420" if args.yuv else "")),
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 124.925, 3),

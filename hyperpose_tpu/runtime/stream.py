@@ -335,32 +335,62 @@ class StreamProcessor:
                 n += 1
             cap.release()
 
-        writer = None
+        # Draw + encode runs on its own thread so the (CPU-heavy, ~20 ms/
+        # frame) render path overlaps device batches instead of serializing
+        # the consumer loop (the reference overlaps this via its pipeline
+        # stage threads, stream.hpp:260-275). imshow stays on the consumer
+        # thread (GUI calls are not thread-safe in cv2).
+        import queue as _qm
+
+        writer_q: _qm.Queue | None = None
+        writer_thread = None
+        if output is not None:
+
+            def _writer_loop():
+                writer = None
+                while True:
+                    item = writer_q.get()
+                    if item is None:
+                        break
+                    frame, humans = item
+                    if topology is not None:
+                        frame = draw_humans(frame, humans, topology,
+                                            alpha=alpha)
+                    bgr = cv2.cvtColor(frame, cv2.COLOR_RGB2BGR)
+                    if writer is None:
+                        hh, ww = bgr.shape[:2]
+                        writer = cv2.VideoWriter(
+                            output, cv2.VideoWriter_fourcc(*"mp4v"),
+                            fps_in, (ww, hh),
+                        )
+                    writer.write(bgr)
+                if writer is not None:
+                    writer.release()
+
+            writer_q = _qm.Queue(maxsize=256)
+            writer_thread = threading.Thread(target=_writer_loop,
+                                             daemon=True)
+            writer_thread.start()
+
         t0 = time.perf_counter()
         n_humans = 0
         for result in self.process(frames(), frames_bgr=not render,
                                    low_latency=low_latency):
-            if output is not None or imshow:
+            if writer_q is not None:
+                writer_q.put((result.frame, result.humans))
+            if imshow:
                 out_frame = result.frame
                 if topology is not None:
                     out_frame = draw_humans(
                         out_frame, result.humans, topology, alpha=alpha
                     )
-                bgr = cv2.cvtColor(out_frame, cv2.COLOR_RGB2BGR)
-                if output is not None:
-                    if writer is None:
-                        hh, ww = result.frame.shape[:2]
-                        writer = cv2.VideoWriter(
-                            output, cv2.VideoWriter_fourcc(*"mp4v"), fps_in,
-                            (ww, hh),
-                        )
-                    writer.write(bgr)
-                if imshow:
-                    cv2.imshow("hyperpose-tpu", bgr)
-                    cv2.waitKey(1)
+                cv2.imshow("hyperpose-tpu",
+                           cv2.cvtColor(out_frame, cv2.COLOR_RGB2BGR))
+                cv2.waitKey(1)
             n_humans += len(result.humans)
-        if writer is not None:
-            writer.release()
+        if writer_q is not None:
+            writer_q.put(None)
+            writer_thread.join(timeout=120)
         dt = time.perf_counter() - t0
         return {
             "frames": self.frames_out,
