@@ -42,9 +42,9 @@ def default_max_batch_size(input_hw: tuple[int, int]) -> int:
 
     On TPU the early small-channel convs are lane-bound and amortize with
     batch: the recorded sweep for TinyVGG 432x368 on one v5e chip
-    (BENCH_SELF.txt, `BENCH_BATCH=n python bench.py`) is 8 -> 1003 fps
-    (plain stem; the S2D serving stem reaches 1537 at this batch) and
-    128 -> 1747 fps, so the default is 128, scaled down for larger
+    (BENCH_SELF.txt, `BENCH_BATCH=n python bench.py`) is 8 -> 1072,
+    64 -> 1428, 128 -> 1747, 256 -> 1706 fps, so the default is 128,
+    scaled down for larger
     resolutions by activation footprint (keeps peak activation HBM
     roughly constant). On CPU (tests, dev) large static batches only slow
     compilation down, so keep 8. The reference leaves this to the user

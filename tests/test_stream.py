@@ -135,6 +135,32 @@ def test_stream_frames_bgr_swaps_for_device():
     assert (seen[..., 0] == 10).all() and (seen[..., 2] == 30).all()
 
 
+def test_process_video_writer_thread(tmp_path):
+    """process_video with output=: frames flow through the threaded
+    draw+encode writer and land in a readable mp4 with every frame."""
+    cv2 = pytest.importorskip("cv2")
+    from hyperpose_tpu.utils.topology import COCO_TOPOLOGY
+
+    src = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    for i in range(10):
+        w.write(np.full((48, 64, 3), i * 20, np.uint8))
+    w.release()
+
+    engine = _RecordingEngine()
+    sp = StreamProcessor(engine, queue_capacity=8)
+    out = str(tmp_path / "out.mp4")
+    stats = sp.process_video(src, out, topology=COCO_TOPOLOGY)
+    assert stats["frames"] == 10
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 10
+
+
 def test_stream_monitor_runs():
     engine = _FakeEngine()
     sp = StreamProcessor(engine, queue_capacity=8)
