@@ -119,6 +119,8 @@ def main():
 
             input_hw = engine.input_hw
             max_batch_size = engine.max_batch_size
+            input_format = engine.input_format
+            input_batch_shape = staticmethod(engine.input_batch_shape)
 
             @staticmethod
             def infer_batch_device(batch):

@@ -318,6 +318,12 @@ class VggTinyFusedStem(nn.Module):
                 "VggTiny and remap_vggtiny_to_fused the checkpoint"
             )
         b, h, w, c = x.shape
+        if h % 2 or w % 2:
+            raise ValueError(
+                f"VggTinyFusedStem needs even input height and width (the "
+                f"width-pair packing and 2x2 pool assume it); got {h}x{w} — "
+                "pad the input or use VggTiny, which accepts any size"
+            )
         xp = x.reshape(b, h, w // 2, 2 * c)
         a0p = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype,
                               name="conv0p")(xp))

@@ -256,11 +256,12 @@ class _SepBNBlock(nn.Module):
 
 
 class SeparableConv(nn.Module):
-    """Single-layer separable conv (dw + 1x1 pw + bias, no BN) — the small
-    variant's stage head block (reference: mbv2_sm_openpose.py:166-170
-    separable_block: one tl.layers.SeparableConv2d). Parameters live under
-    ONE module path ({dw_kernel, pw_kernel, bias}) mirroring the single TL
-    layer, so structural checkpoint import aligns 1:1."""
+    """Single-layer separable conv (dw + 1x1 pw + bias) — one
+    tl.layers.SeparableConv2d (reference: mbv2_sm_openpose.py:166-170).
+    Parameters live under ONE module path ({dw_kernel, pw_kernel, bias})
+    mirroring the single TL layer, so structural checkpoint import aligns
+    1:1. The small stage block wraps this with a BatchNorm
+    (_SepSmallBlock)."""
 
     features: int
     kernel: tuple[int, int] = (3, 3)
@@ -294,10 +295,35 @@ class SeparableConv(nn.Module):
         return x
 
 
+class _SepSmallBlock(nn.Module):
+    """Small-variant stage block: SeparableConv2d(act) followed by
+    BatchNorm2d(decay=0.999, act) — the activation runs twice (once inside
+    the separable conv, once after BN), exactly as the reference builds it
+    (mbv2_sm_openpose.py:166-171 separable_block). Serializes as sepconv
+    {dw_kernel, pw_kernel, bias} + bn {scale, bias, mean, var}, matching
+    real reference checkpoints layer for layer."""
+
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    act: Callable | None = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = SeparableConv(self.features, self.kernel, act=self.act,
+                          dtype=self.dtype, name="sep")(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         use_fast_variance=False, momentum=0.999,
+                         dtype=self.dtype, name="bn")(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
 class _SepStage(nn.Module):
     """Separable-conv stage head. style="thin": dw+BN+pw+BN blocks
-    (mbv2_th_openpose.py:106-162); style="small": single separable convs,
-    no BN (mbv2_sm_openpose.py:103-157)."""
+    (mbv2_th_openpose.py:106-162); style="small": SeparableConv+BN blocks
+    (mbv2_sm_openpose.py:103-157,166-171)."""
 
     n_out: int
     plan: Sequence[tuple[int, int]]
@@ -311,13 +337,13 @@ class _SepStage(nn.Module):
                 x = _SepBNBlock(f, (k, k), dtype=self.dtype,
                                 name=f"l{i}")(x, train)
             else:
-                x = SeparableConv(f, (k, k), dtype=self.dtype,
-                                  name=f"l{i}")(x)
+                x = _SepSmallBlock(f, (k, k), dtype=self.dtype,
+                                   name=f"l{i}")(x, train)
         if self.style == "thin":
             return _SepBNBlock(self.n_out, (1, 1), act=None, dtype=self.dtype,
                                name="out")(x, train)
-        return SeparableConv(self.n_out, (1, 1), act=None, dtype=self.dtype,
-                             name="out")(x)
+        return _SepSmallBlock(self.n_out, (1, 1), act=None, dtype=self.dtype,
+                              name="out")(x, train)
 
 
 class _ThinSmallOpenPose(nn.Module):

@@ -13,11 +13,11 @@ payload and each host feeds only its own shard (DCN never sees activations).
 
 Multi-host usage: call jax.distributed.initialize() per host, build the
 global mesh, and feed per-host frame shards through
-`ShardedStreamEngine.infer_global_batch` with host-local arrays.
+`ShardedStreamEngine.infer_local_shard` with host-local arrays (tested
+cross-process by tests/test_multihost_infer.py).
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
@@ -66,14 +66,63 @@ class ShardedStreamEngine:
             out_shardings=out_sh,
         )
 
+    @property
+    def _img_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P("dp", "sp", None, None))
+
     def infer_global_batch(self, images_u8) -> DecodedSkeletons:
         """images_u8: [B_global, H, W, 3]; B_global must be divisible by the
         dp axis. Returns replicated decoded skeletons for ALL frames, on
-        every participating host."""
+        every participating host.
+
+        Single-process: pass the whole batch. Multi-process: every process
+        must pass the SAME host-global array; each transfers only its own
+        dp rows (sliced here) — prefer `infer_local_shard`, which never
+        materializes frames a host does not own."""
+        if jax.process_count() > 1:
+            b = int(np.shape(images_u8)[0])
+            n = jax.process_count()
+            if b % n:
+                raise ValueError(
+                    f"global batch {b} not divisible by {n} processes"
+                )
+            lo = jax.process_index() * b // n
+            return self.infer_local_shard(
+                np.asarray(images_u8)[lo:lo + b // n], global_batch=b
+            )
         if self._jitted is None:
             self._jitted = self._build()
-        img_sh = NamedSharding(self.mesh, P("dp", "sp", None, None))
-        images = jax.device_put(jnp.asarray(images_u8), img_sh)
+        images = jax.device_put(jnp.asarray(images_u8), self._img_sharding)
+        with self.mesh:
+            return self._jitted(self.variables, images)
+
+    def infer_local_shard(
+        self, local_images_u8, global_batch: int | None = None,
+    ) -> DecodedSkeletons:
+        """Multi-host entry point: each process feeds ONLY the frames it
+        owns (equal-size shards, ordered by process index — process p owns
+        global rows [p*B/n, (p+1)*B/n)). The global device array is
+        assembled from the process-local shards
+        (jax.make_array_from_process_local_data), the fused forward+decode
+        runs across all hosts' chips, and the replicated skeleton outputs
+        come back for the ENTIRE global batch on every host — so each host
+        can reassemble the ordered output stream locally (the ordering
+        guarantee of reference stream.hpp:82-87, preserved across hosts).
+        """
+        local = np.asarray(local_images_u8)
+        n = jax.process_count()
+        if global_batch is None:
+            global_batch = local.shape[0] * n
+        if global_batch != local.shape[0] * n:
+            raise ValueError(
+                f"global batch {global_batch} != local {local.shape[0]} x "
+                f"{n} processes (shards must be equal-size)"
+            )
+        if self._jitted is None:
+            self._jitted = self._build()
+        images = jax.make_array_from_process_local_data(
+            self._img_sharding, local, (global_batch,) + local.shape[1:]
+        )
         with self.mesh:
             return self._jitted(self.variables, images)
 
@@ -87,9 +136,10 @@ def make_distributed_mesh(spatial: int = 1) -> Mesh:
     return Mesh(devs.reshape(n // spatial, spatial), ("dp", "sp"))
 
 
-@functools.lru_cache(maxsize=None)
 def scaling_report(fps_1chip: float, fps_nchip: float, n: int) -> dict:
-    """Scaling-efficiency bookkeeping for the north-star metric."""
+    """Scaling-efficiency row for the north-star metric (>=80% at 2+
+    hosts). Measured by tests/multihost_infer_worker.py on the 2-process
+    virtual mesh and by bench.py when real multi-chip hardware exists."""
     return {
         "chips": n,
         "fps_per_chip_1": fps_1chip,

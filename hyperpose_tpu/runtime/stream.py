@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import threading
 import time
 from typing import Iterator
@@ -115,18 +116,27 @@ class StreamProcessor:
     Results are consumed in order from the caller's thread.
     """
 
-    def __init__(self, engine: PoseEngine, queue_capacity: int | None = None):
+    def __init__(self, engine: PoseEngine, queue_capacity: int | None = None,
+                 n_preproc: int | None = None):
         # Queues must hold at least two full device batches so the compiled
         # batch size is actually reachable (a 64-slot queue in front of a
         # statically compiled 128-batch would cap every dispatch at half
         # fill and pad the rest with zeros).
         if queue_capacity is None:
             queue_capacity = max(64, 2 * engine.max_batch_size)
+        if n_preproc is None:
+            # Preprocess costs ~0.5 ms/frame vs ~0.9 ms/frame video decode
+            # (measured, docs/performance.md), so one worker keeps pace per
+            # reader on small hosts; more workers only help when cores are
+            # plentiful.
+            n_preproc = max(1, min(4, (os.cpu_count() or 2) - 1))
         self.engine = engine
+        self.n_preproc = n_preproc
         self.input_q = _make_queue(queue_capacity)
         self.resized_q = _make_queue(queue_capacity)
         self.result_q = _make_queue(queue_capacity)
         self._threads: list[threading.Thread] = []
+        self._pool = None  # native affinity-pinned worker pool (preproc)
         self._monitor: threading.Thread | None = None
         self._stop = threading.Event()
         self._frames_bgr = False
@@ -146,53 +156,93 @@ class StreamProcessor:
             self.frames_in = idx
         self.input_q.close()
 
-    def _preproc(self):
-        from . import native
+    def _prep_frame(self, frame: np.ndarray) -> np.ndarray:
+        """Resize one frame to the model input and encode it into the
+        engine's infeed layout, fusing the BGR->RGB swap into the encode so
+        headless (cv2-native BGR) streaming never pays a standalone
+        channel-swap copy (measured 0.8 ms/frame — more than the resize).
+        """
+        import cv2
 
         h, w = self.engine.input_hw
-        use_native = native.get_lib() is not None
-        while True:
+        small = cv2.resize(frame, (w, h))
+        if getattr(self.engine, "input_format", "rgb8") == "yuv420":
+            # Direct BGR/RGB -> planar I420: the swap is free inside the
+            # colorspace matrix (cv2 SIMD, ~0.13 ms/frame).
+            code = (cv2.COLOR_BGR2YUV_I420 if self._frames_bgr
+                    else cv2.COLOR_RGB2YUV_I420)
+            return cv2.cvtColor(small, code)
+        if self._frames_bgr:
+            # Swap on the SMALL resized frame (cv2 SIMD), so headless video
+            # streaming skips the per-frame full-resolution cvtColor.
+            return cv2.cvtColor(small, cv2.COLOR_BGR2RGB)
+        return small
+
+    def _preproc_loop(self):
+        """One preprocess worker: pull decoded frames, emit infeed-ready
+        frames. N of these run concurrently (native affinity-pinned pool
+        when available) — the reference's per-stage worker threads
+        (src/stream.cpp:68-112, src/thread_pool.cpp:39-68). Order is
+        restored at the consumer (reorder buffer keyed by frame index)."""
+        while not self._stop.is_set():
             try:
-                items = self.input_q.dump(8, timeout_ms=200)
+                items = self.input_q.dump(4, timeout_ms=200)
             except EOFError:
                 break
             for idx, frame in items:
-                if use_native:
-                    resized = np.empty((1, h, w, 3), np.uint8)
-                    if native.resize_into_batch(frame, resized, 0) is None:
-                        use_native = False
-                    else:
-                        resized = resized[0]
-                if not use_native:
-                    import cv2
+                self.resized_q.push((idx, frame, self._prep_frame(frame)))
 
-                    resized = cv2.resize(frame, (w, h))
-                if self._frames_bgr:
-                    # Channel swap on the SMALL resized frame — resize is
-                    # channel-agnostic, so headless video streaming skips
-                    # the per-frame full-resolution cvtColor entirely.
-                    resized = np.ascontiguousarray(resized[..., ::-1])
-                # Compressed infeed: ship 4:2:0 YUV (half the bytes) when
-                # the engine reconstructs RGB on-device.
-                encode = getattr(self.engine, "encode_input", None)
-                if encode is not None:
-                    resized = encode(resized)
-                self.resized_q.push((idx, frame, resized))
-        self.resized_q.close()
+    def _start_preproc(self):
+        """Launch the preproc workers on the native pool (falls back to
+        Python threads when the native runtime is unavailable)."""
+        remaining = [self.n_preproc]
+        lock = threading.Lock()
+
+        def worker():
+            try:
+                self._preproc_loop()
+            finally:
+                with lock:
+                    remaining[0] -= 1
+                    last = remaining[0] == 0
+                if last:
+                    self.resized_q.close()
+
+        try:
+            from .native import NativePool
+
+            self._pool = NativePool(self.n_preproc, pin_affinity=True)
+            for _ in range(self.n_preproc):
+                self._pool.enqueue(worker)
+        except Exception:
+            self._pool = None
+            for _ in range(self.n_preproc):
+                t = threading.Thread(target=worker, daemon=True)
+                t.start()
+                self._threads.append(t)
 
     def _device_worker(self):
         bmax = self.engine.max_batch_size
         use_packed = hasattr(self.engine, "_step_packed")
+        shape_fn = getattr(self.engine, "input_batch_shape", None)
+        if shape_fn is not None:
+            batch_shape = shape_fn()
+        else:
+            h, w = self.engine.input_hw
+            batch_shape = (bmax, h, w, 3)
+        # Double-buffered staging: while batch k is in flight on device,
+        # batch k+1 fills the other buffer (no per-dispatch allocation).
+        bufs = [np.zeros(batch_shape, np.uint8) for _ in range(2)]
+        buf_i = 0
 
         def dispatch(items):
-            shape_fn = getattr(self.engine, "input_batch_shape", None)
-            if shape_fn is not None:
-                batch_buf = np.zeros(shape_fn(), np.uint8)
-            else:
-                h, w = self.engine.input_hw
-                batch_buf = np.zeros((bmax, h, w, 3), np.uint8)
+            nonlocal buf_i
+            batch_buf = bufs[buf_i]
+            buf_i ^= 1
             for i, (_, _, resized) in enumerate(items):
                 batch_buf[i] = resized
+            if len(items) < bmax:
+                batch_buf[len(items):] = 0
             if use_packed:
                 return self.engine._step_packed(
                     self.engine.variables, batch_buf
@@ -270,28 +320,49 @@ class StreamProcessor:
         swaps channels on the small resized frame instead — FrameResult
         .frame is then BGR too (and flagged frame_is_bgr). low_latency=True
         skips the batch top-up window: right for live sources whose frame
-        rate can never fill a large compiled batch inside the window."""
+        rate can never fill a large compiled batch inside the window.
+
+        Results are yielded strictly in frame order: the N concurrent
+        preproc workers may locally shuffle frames, so a reorder buffer
+        keyed by frame index restores FIFO here (the reference guarantees
+        the same ordering via its single-writer stage graph,
+        stream.hpp:82-87)."""
         self._frames_bgr = frames_bgr
         self._low_latency = low_latency
         self._threads = [
             threading.Thread(target=self._reader, args=(frames,), daemon=True),
-            threading.Thread(target=self._preproc, daemon=True),
             threading.Thread(target=self._device_worker, daemon=True),
         ]
         for t in self._threads:
             t.start()
-        while True:
-            try:
-                result = self.result_q.pop(timeout_ms=1000)
-            except TimeoutError:
-                if not any(t.is_alive() for t in self._threads):
+        self._start_preproc()
+        reorder: dict[int, FrameResult] = {}
+        next_idx = 0
+        try:
+            while True:
+                try:
+                    result = self.result_q.pop(timeout_ms=1000)
+                except TimeoutError:
+                    if not any(t.is_alive() for t in self._threads):
+                        break
+                    continue
+                except EOFError:
                     break
-                continue
-            except EOFError:
-                break
-            self.frames_out += 1
-            yield result
-        self.shutdown()
+                reorder[result.index] = result
+                while next_idx in reorder:
+                    self.frames_out += 1
+                    yield reorder.pop(next_idx)
+                    next_idx += 1
+            # Flush any tail still in the buffer (only possible if the
+            # stream was cut mid-flight; indices then have gaps).
+            for idx in sorted(reorder):
+                self.frames_out += 1
+                yield reorder.pop(idx)
+        finally:
+            # Runs on normal EOF and when the caller abandons the generator
+            # (GeneratorExit) — stage threads and the native pool are torn
+            # down either way.
+            self.shutdown()
 
     def process_video(
         self, source: str, output: str | None = None,
@@ -319,10 +390,10 @@ class StreamProcessor:
             raise IOError(f"cannot open video source {source}")
         fps_in = cap.get(cv2.CAP_PROP_FPS) or 30
 
-        # Headless runs keep frames BGR end to end (no per-frame
-        # full-resolution cvtColor); rendering paths convert so drawn
-        # colors and written video stay correct.
-        render = output is not None or imshow
+        # Frames stay BGR (cv2-native) end to end: the preproc workers fold
+        # the channel swap into the resize/I420 encode, the writer draws
+        # with BGR colors and writes directly — no full-resolution cvtColor
+        # anywhere in the loop (two of them cost ~1.6 ms/frame before).
 
         def frames():
             n = 0
@@ -330,67 +401,107 @@ class StreamProcessor:
                 ok, frame = cap.read()
                 if not ok:
                     break
-                yield (cv2.cvtColor(frame, cv2.COLOR_BGR2RGB) if render
-                       else frame)
+                yield frame
                 n += 1
             cap.release()
 
-        # Draw + encode runs on its own thread so the (CPU-heavy, ~20 ms/
-        # frame) render path overlaps device batches instead of serializing
-        # the consumer loop (the reference overlaps this via its pipeline
-        # stage threads, stream.hpp:260-275). imshow stays on the consumer
-        # thread (GUI calls are not thread-safe in cv2).
+        # Draw + encode runs on its own thread so the (CPU-heavy) render
+        # path overlaps device batches instead of serializing the consumer
+        # loop (the reference overlaps this via its pipeline stage threads,
+        # stream.hpp:260-275). imshow stays on the consumer thread (GUI
+        # calls are not thread-safe in cv2).
         import queue as _qm
 
         writer_q: _qm.Queue | None = None
         writer_thread = None
+        writer_error: list[BaseException] = []
         if output is not None:
 
             def _writer_loop():
                 writer = None
-                while True:
-                    item = writer_q.get()
-                    if item is None:
-                        break
-                    frame, humans = item
-                    if topology is not None:
-                        frame = draw_humans(frame, humans, topology,
-                                            alpha=alpha)
-                    bgr = cv2.cvtColor(frame, cv2.COLOR_RGB2BGR)
-                    if writer is None:
-                        hh, ww = bgr.shape[:2]
-                        writer = cv2.VideoWriter(
-                            output, cv2.VideoWriter_fourcc(*"mp4v"),
-                            fps_in, (ww, hh),
-                        )
-                    writer.write(bgr)
-                if writer is not None:
-                    writer.release()
+                try:
+                    while True:
+                        item = writer_q.get()
+                        if item is None:
+                            break
+                        frame, humans = item
+                        if topology is not None:
+                            frame = draw_humans(frame, humans, topology,
+                                                alpha=alpha, bgr=True)
+                        if writer is None:
+                            hh, ww = frame.shape[:2]
+                            writer = cv2.VideoWriter(
+                                output, cv2.VideoWriter_fourcc(*"mp4v"),
+                                fps_in, (ww, hh),
+                            )
+                            if not writer.isOpened():
+                                raise IOError(
+                                    f"cannot open video writer for {output}"
+                                )
+                        writer.write(frame)
+                except BaseException as e:  # surface to the consumer loop
+                    writer_error.append(e)
+                    # Drain so a blocked producer put() never deadlocks.
+                    while True:
+                        try:
+                            if writer_q.get_nowait() is None:
+                                break
+                        except _qm.Empty:
+                            break
+                finally:
+                    if writer is not None:
+                        writer.release()
 
             writer_q = _qm.Queue(maxsize=256)
             writer_thread = threading.Thread(target=_writer_loop,
                                              daemon=True)
             writer_thread.start()
 
+        def _writer_put(item):
+            """put with a liveness check: a dead writer thread must fail the
+            run, not block the pipeline forever on a full queue."""
+            while True:
+                if writer_error:
+                    raise RuntimeError(
+                        "stream writer thread failed"
+                    ) from writer_error[0]
+                try:
+                    writer_q.put(item, timeout=1.0)
+                    return
+                except _qm.Full:
+                    if not writer_thread.is_alive():
+                        raise RuntimeError(
+                            "stream writer thread died with a full queue"
+                        ) from (writer_error[0] if writer_error else None)
+
         t0 = time.perf_counter()
         n_humans = 0
-        for result in self.process(frames(), frames_bgr=not render,
-                                   low_latency=low_latency):
+        try:
+            for result in self.process(frames(), frames_bgr=True,
+                                       low_latency=low_latency):
+                if writer_q is not None:
+                    _writer_put((result.frame, result.humans))
+                if imshow:
+                    out_frame = result.frame
+                    if topology is not None:
+                        out_frame = draw_humans(
+                            out_frame, result.humans, topology, alpha=alpha,
+                            bgr=True,
+                        )
+                    cv2.imshow("hyperpose-tpu", out_frame)
+                    cv2.waitKey(1)
+                n_humans += len(result.humans)
+        finally:
             if writer_q is not None:
-                writer_q.put((result.frame, result.humans))
-            if imshow:
-                out_frame = result.frame
-                if topology is not None:
-                    out_frame = draw_humans(
-                        out_frame, result.humans, topology, alpha=alpha
-                    )
-                cv2.imshow("hyperpose-tpu",
-                           cv2.cvtColor(out_frame, cv2.COLOR_RGB2BGR))
-                cv2.waitKey(1)
-            n_humans += len(result.humans)
-        if writer_q is not None:
-            writer_q.put(None)
-            writer_thread.join(timeout=120)
+                try:
+                    _writer_put(None)
+                except RuntimeError:
+                    pass
+                writer_thread.join(timeout=120)
+        if writer_error:
+            raise RuntimeError(
+                f"stream writer failed; {output} is incomplete"
+            ) from writer_error[0]
         dt = time.perf_counter() - t0
         return {
             "frames": self.frames_out,
@@ -448,3 +559,8 @@ class StreamProcessor:
             q.close()
         for t in self._threads:
             t.join(timeout=2.0)
+        if self._pool is not None:
+            # Pool workers exit when their input queue drains to EOF; free
+            # joins them (native hp_pool_free).
+            self._pool.close()
+            self._pool = None

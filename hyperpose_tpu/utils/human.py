@@ -120,17 +120,22 @@ def draw_humans(
     topology: Topology,
     thickness: int = 3,
     alpha: float = 1.0,
+    bgr: bool = False,
 ) -> np.ndarray:
     """Draw skeletons on an HWC uint8 image (reference: src/human.cpp:7-39).
 
     Coordinates in `humans` are normalized to [0, 1]. `alpha` blends the
     skeleton overlay into the original frame (reference: cli.cpp --alpha).
+    `bgr=True` draws onto a BGR (cv2-native) frame with the palette
+    reversed, so streaming paths never need a full-frame cvtColor.
     """
     import cv2
 
     out = np.ascontiguousarray(image.copy())
     h, w = out.shape[:2]
     colors = topology.colors
+    if bgr:
+        colors = [tuple(reversed(tuple(c))) for c in colors]
     for human in humans:
         centers = {}
         for i, part in human.parts.items():

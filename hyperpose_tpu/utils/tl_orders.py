@@ -168,7 +168,9 @@ def _sep_stage_suborder(top: str, path: tuple) -> tuple:
         raise KeyError(f"unknown stage layer {top}")
     b = {"conf": 0, "paf": 1}[branch]
     li = 10**3 if path[1] == "out" else _num_suffix(path[1], "l")
-    sub = ({"dw": 0, "bn1": 1, "pw": 2, "bn2": 3}[path[2]]
+    # thin blocks: dw -> bn1 -> pw -> bn2; small blocks: sep -> bn
+    # (mbv2_sm_openpose.py:166-171 SeparableConv2d then BatchNorm2d).
+    sub = ({"dw": 0, "bn1": 1, "pw": 2, "bn2": 3, "sep": 0, "bn": 1}[path[2]]
            if len(path) > 2 else 0)
     return (1, stage, b, li, sub)
 

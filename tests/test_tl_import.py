@@ -283,9 +283,9 @@ def test_thin_openpose_structural_import(tmp_path):
 
 
 def test_small_openpose_structural_import(tmp_path):
-    """Small variant: stage blocks are single TL SeparableConv2d layers
-    (dw + pw + bias, NO BatchNorm) mapping onto our single-path
-    SeparableConv modules."""
+    """Small variant: each stage block is a TL SeparableConv2d (dw + pw +
+    bias) followed by a BatchNorm2d (mbv2_sm_openpose.py:166-171), mapping
+    onto our _SepSmallBlock {sep, bn} modules."""
     from hyperpose_tpu.models.openpose import MobilenetSmallOpenpose
     from hyperpose_tpu.utils.tl_orders import thin_small_openpose_order
     from tl_fixtures import small_openpose_entries
@@ -302,15 +302,19 @@ def test_small_openpose_structural_import(tmp_path):
     assert _leaf(p, "backbone", "stem", "conv", "kernel").flat[0] == \
         marks["backbone_stem_conv"]
     # sepconv triplets: TF dw [7,7,128,1] -> flax [7,7,1,128]
-    dw = _leaf(p, "ref2_conf", "l1", "dw_kernel")
+    dw = _leaf(p, "ref2_conf", "l1", "sep", "dw_kernel")
     assert dw.shape == (7, 7, 1, 128)
     assert dw.flat[0] == marks["ref2_conf_l1_dw"]
-    assert _leaf(p, "ref2_conf", "l1", "pw_kernel").flat[0] == \
+    assert _leaf(p, "ref2_conf", "l1", "sep", "pw_kernel").flat[0] == \
         marks["ref2_conf_l1_pw"]
-    assert _leaf(p, "ref2_conf", "l1", "bias").flat[0] == \
+    assert _leaf(p, "ref2_conf", "l1", "sep", "bias").flat[0] == \
         marks["ref2_conf_l1_bias"]
-    assert _leaf(p, "init_paf", "out", "pw_kernel").flat[0] == \
+    assert _leaf(p, "init_paf", "out", "sep", "pw_kernel").flat[0] == \
         marks["init_paf_out_pw"]
+    # per-block BN right after the sepconv (beta marks come first in the
+    # TL BatchNorm entry order)
+    assert _leaf(p, "ref2_conf", "l1", "bn", "bias").flat[0] == \
+        marks["ref2_conf_l1_bn"]
     y = model.apply(
         {"params": p, "batch_stats": out["batch_stats"]},
         jnp.zeros((1, 64, 64, 3)), train=False,

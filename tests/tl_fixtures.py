@@ -428,8 +428,9 @@ def thin_openpose_entries(n_confmaps=19, n_pafmaps=38):
 
 
 def small_openpose_entries(n_confmaps=19, n_pafmaps=38):
-    """Backbone + init stage + 4 refinement stages; stage blocks are single
-    SeparableConv2d layers, NO BatchNorm (mbv2_sm_openpose.py:14-157)."""
+    """Backbone + init stage + 4 refinement stages; each stage block is a
+    SeparableConv2d FOLLOWED BY BatchNorm2d — separable_block appends both
+    (mbv2_sm_openpose.py:103-157,166-171)."""
     _reset()
     entries, marks = mobilenet_small_backbone_entries()
     bb_out = 704
@@ -445,6 +446,9 @@ def small_openpose_entries(n_confmaps=19, n_pafmaps=38):
             marks[f"{mark}_pw"] = se[1][1].flat[0]
             marks[f"{mark}_bias"] = se[2][1].flat[0]
             seq.extend(se)
+            bne = bn(f"model/{tag}_bn{i}", f)
+            marks[f"{mark}_bn"] = bne[0][1].flat[0]
+            seq.extend(bne)
             cin = f
         return seq
 
