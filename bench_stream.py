@@ -80,6 +80,11 @@ def main():
     ap.add_argument("--host_only", action="store_true",
                     help="replace the device step with a no-op to measure "
                     "the host pipeline ceiling (read+preproc+batch+emit)")
+    ap.add_argument("--weights", default="save_dir/synth_tinyvgg_r3/model_dir",
+                    help="model_dir with an orbax ckpt/ to load trained "
+                    "weights from so frames decode to real humans (the "
+                    "reference protocol measures drawn output); "
+                    "'none' benchmarks random-init weights")
     args = ap.parse_args()
 
     import jax
@@ -101,6 +106,20 @@ def main():
         jnp.zeros((1, cfg.model.hin, cfg.model.win, 3), model.dtype),
         train=False,
     )
+    trained = False
+    ckpt_dir = os.path.join(args.weights, "ckpt")
+    if args.weights != "none" and os.path.isdir(ckpt_dir):
+        import orbax.checkpoint as ocp
+
+        mngr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+        state = mngr.restore(mngr.latest_step())
+        variables = {
+            "params": state["params"], "batch_stats": state["batch_stats"],
+        }
+        trained = True
+    elif args.weights != "none":
+        print(f"# no checkpoint at {ckpt_dir}; using random init",
+              file=sys.stderr)
     kwargs = {}
     if args.max_batch_size:
         kwargs["max_batch_size"] = args.max_batch_size
@@ -161,6 +180,7 @@ def main():
             "compile_s": round(compile_s, 1),
             "max_batch_size": engine.max_batch_size,
             "write_output": bool(args.write_output),
+            "trained_weights": trained,
             "stats": {k: v for k, v in stats.items()
                       if isinstance(v, (int, float))},
             **_provenance(),
