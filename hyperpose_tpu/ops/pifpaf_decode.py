@@ -9,29 +9,33 @@ src/pifpaf_decoder/openpifpaf_postprocessor.cpp:657-926):
     map — it is evaluated lazily at exactly the query points the decoder
     needs (seed positions and connection endpoints), as a masked sum over
     the top-C contributing cells per part.
-  * seeds and per-limb connection candidates are bounded top-K selections.
+  * seed candidates are per-part conf local maxima (budgeted per part)
+    plus a raster-order overflow set; per-limb connection candidates are
+    bounded threshold selections.
+  * the reference's seed occupancy (later seeds inside an already-grown
+    skeleton are skipped, processor.py:163-179) becomes a parallel
+    person-component grouping: seeds the PAF tables connect are unioned by
+    min-label propagation, every component's best seed is guaranteed a
+    growth slot, and the remaining slots carry redundancy.
   * `grow` (heapq frontier, processor.py:338-393) becomes a bounded
     fori_loop: each step evaluates ALL (assigned-src -> unassigned-dst)
     directed edges vectorized and commits the best-scoring connection
     (2-best blending + reverse matching preserved).
-  * seed processing with occupancy becomes an outer loop over max_humans
-    rounds, picking the best non-occupied seed each round.
   * keypoint-wise NMS uses rank-ordered pairwise suppression.
 
 Everything runs batched under one jit via vmap.
 
 End-to-end validated against a sequential transcription of the reference
 decoder (tests/golden_pifpaf.py + tests/test_pifpaf_golden.py): measured
-96.5% keypoint agreement within 5 px and human-count agreement on 26/32
-randomized multi-person scenes (including 6-8-person crowded scenes,
-where parallel growth and the sequential occupancy order legitimately
-commit different connections); the test asserts >= 94% / >= 75%.
-Intentional divergences from the reference: lazy
-top-C hi-res CIF at float query points (vs dense grid sampled at rounded
-ints), bounded top-K tables, parallel Jacobi growth (vs heapq commit
-order), seed NMS + rank NMS (vs sequential occupancy maps, whose
-corner-occupancy quirk — put_occupy on unassigned parts at (0,0),
-processor.py:177-179 — is not reproduced).
+99.7% keypoint agreement within 5 px (crowded 6-8-person subset 99.3%)
+and human-count agreement on 32/32 randomized multi-person scenes; the
+test asserts >= 98% / >= 95% / counts on >= 90%. Intentional divergences
+from the reference: lazy top-C hi-res CIF at float query points (vs dense
+grid sampled at rounded ints), bounded candidate tables, parallel Jacobi
+growth (vs heapq commit order), component-grouped parallel seed picks +
+rank NMS (vs sequential occupancy maps, whose corner-occupancy quirk —
+put_occupy on unassigned parts at (0,0), processor.py:177-179 — is not
+reproduced).
 """
 from __future__ import annotations
 
@@ -54,9 +58,18 @@ class PifPafDecoderConfig:
     n_pos: int = 17
     n_limbs: int = 19
     max_hr_contrib: int = 96   # C: cells per part feeding hr queries
-    max_seeds: int = 64
-    max_paf_cands: int = 64    # Kc per limb
-    max_humans: int = 16
+    # Seed candidates are per-part LOCAL MAXIMA of the conf map (one per
+    # person-part blob), budgeted per part — a flat cross-part budget
+    # exhausts on the first parts of the topmost person in crowded scenes
+    # and drops occluded people entirely (round-4 golden finding).
+    seeds_per_part: int = 12
+    max_flat_seeds: int = 64   # extra raster-order seed candidates
+    max_paf_cands: int = 128   # Kc per limb (shared by ALL people's limbs)
+    # Grown annotations per image. The oracle grows EVERY non-occupied
+    # seed and lets NMS + filters reduce; 16 slots starve crowded scenes
+    # (measured: 8-person scenes lose their most-occluded people at 16,
+    # and reach 100% count agreement at 32 — tests/test_pifpaf_golden.py).
+    max_humans: int = 32
     # Rounds of parallel frontier growth; must cover the seed's graph
     # eccentricity (8 for the COCO 19-bone skeleton), NOT the part count —
     # each round commits every reachable unassigned part at once.
@@ -216,18 +229,38 @@ def _prepare_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray):
         )
 
     # ---- seeds --------------------------------------------------------------
-    n_seeds = min(cfg.max_seeds, p * n)
-    part_f = jnp.repeat(
-        jnp.arange(p, dtype=jnp.float32), n
-    )                                                    # [P*N] part index
-    seed_fields = jnp.concatenate(
+    # Candidate seeds are the LOCAL MAXIMA of each part's conf map above
+    # thresh_pif, budgeted per part (seeds_per_part ~= max people). The
+    # oracle seeds from every above-threshold cell best-first with
+    # occupancy skipping (processor.py:163-179); a blob's non-max cells are
+    # exactly the ones occupancy would skip, so the peak set is the
+    # surviving seed set — and the per-part budget cannot be starved by
+    # other parts in crowded scenes.
+    peak = lax.reduce_window(
+        pif_conf, -jnp.inf, lax.max, (3, 3, 1), (1, 1, 1), "SAME"
+    )
+    is_peak = (pif_conf >= peak) & (pif_conf > cfg.thresh_pif)
+    sp_cap = min(cfg.seeds_per_part, n)
+    psel_seeds = _bounded_select(
+        is_peak.reshape(n, p).T, pif_fields, sp_cap
+    ).reshape(p * sp_cap, 4)                             # [P*Sp, 4]
+    peak_parts = jnp.repeat(jnp.arange(p, dtype=jnp.int32), sp_cap)
+    # ... plus the flat raster-order selection: when two people's blobs of
+    # the same part MERGE, only one cell is a local max — the raster set
+    # still carries the second person's cells (scene-24 golden case).
+    n_flat = min(cfg.max_flat_seeds, p * n)
+    part_f = jnp.repeat(jnp.arange(p, dtype=jnp.float32), n)
+    flat_fields = jnp.concatenate(
         [pif_fields.reshape(p * n, 4), part_f[:, None]], axis=-1
     )
-    ssel = _bounded_select(
-        conf_pn.reshape(-1) > cfg.thresh_pif, seed_fields, n_seeds
-    )                                                    # [S, 5]
+    fsel = _bounded_select(
+        conf_pn.reshape(-1) > cfg.thresh_pif, flat_fields, n_flat
+    )                                                    # [F, 5]
+    ssel = jnp.concatenate([psel_seeds, fsel[:, :4]], axis=0)
+    seed_part = jnp.concatenate(
+        [peak_parts, fsel[:, 4].astype(jnp.int32)], axis=0
+    )
     svals, seed_x, seed_y, seed_scale = (ssel[..., i] for i in range(4))
-    seed_part = ssel[..., 4].astype(jnp.int32)
     hr_s = hr_at(seed_part, seed_x, seed_y)
     seed_score = 0.9 * hr_s + 0.1 * jnp.maximum(svals, 0.0)
     seed_valid = (svals > cfg.thresh_pif) & (seed_score > cfg.thresh_ref_pif)
@@ -303,7 +336,60 @@ def _prepare_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray):
         & seed_valid[None, :]
     )
     seed_keep = seed_valid & ~jnp.any(near_seed, axis=1)
-    pick_scores = jnp.where(seed_keep, seed_score, _NEG)
+
+    # ---- person-component grouping (parallel occupancy analog) -------------
+    # The reference skips any seed whose position an earlier-grown
+    # annotation already claimed (processor.py:163-179), so each grown
+    # skeleton starts an UNDISCOVERED person. A parallel top-K pick has no
+    # such memory: in crowded scenes the strongest K seeds concentrate on
+    # few people and the rest are never grown (round-4 golden finding).
+    # Replacement: link seeds that the PAF tables connect (seed of part a
+    # whose best outgoing connection lands on a seed of part b within its
+    # occupancy radius = same person), take connected components by min-
+    # label propagation, and guarantee every component's best seed a pick
+    # slot (remaining slots go to the next-strongest seeds as redundancy
+    # against wrongly-merged components; final keypoint NMS dedups).
+    S = seed_part.shape[0]
+    e_src_j = jnp.asarray(np.concatenate([src_parts, dst_parts]))
+    e_dst_j = jnp.asarray(np.concatenate([dst_parts, src_parts]))
+
+    def link_one_edge(e):
+        ms = jnp.where(e_valid[e], e_score[e], 0.0)
+        fc, fx, fy, _ = jax.vmap(
+            lambda x0, y0, s0: _find_connection(
+                em_x[e], em_y[e], ms, e_valid[e],
+                eo_x[e], eo_y[e], eo_s[e], x0, y0, s0,
+            )
+        )(seed_x, seed_y, jnp.maximum(seed_scale, cfg.min_scale))
+        on_src = seed_keep & (seed_part == e_src_j[e]) & (fc > 0.0)
+        occ_j = jnp.maximum(cfg.min_scale, seed_scale)
+        near_j = (
+            seed_keep[None, :]
+            & (seed_part[None, :] == e_dst_j[e])
+            & (jnp.abs(fx[:, None] - seed_x[None, :]) <= occ_j[None, :])
+            & (jnp.abs(fy[:, None] - seed_y[None, :]) <= occ_j[None, :])
+        )
+        return on_src[:, None] & near_j                    # [S, S]
+
+    adj = jnp.any(jax.vmap(link_one_edge)(jnp.arange(n_edges)), axis=0)
+    adj = adj | adj.T | jnp.eye(S, dtype=bool)
+    labels0 = jnp.where(seed_keep, jnp.arange(S, dtype=jnp.int32), S)
+
+    def prop(_, lab):
+        return jnp.min(jnp.where(adj, lab[None, :], S), axis=1)
+
+    labels = lax.fori_loop(0, 10, prop, labels0)
+    # component representative: highest-scoring kept seed per label
+    # (index tie-break), computed via a masked [S, S] max
+    same_comp = labels[:, None] == labels[None, :]
+    key = jnp.where(seed_keep, seed_score, _NEG) \
+        - jnp.arange(S, dtype=jnp.float32) * 1e-7
+    comp_best = jnp.max(jnp.where(same_comp, key[None, :], _NEG), axis=1)
+    is_rep = seed_keep & (key >= comp_best)
+    # tier-0 reps, tier-1 redundancy — the bonus dominates any score
+    pick_scores = jnp.where(
+        seed_keep, seed_score + 10.0 * is_rep.astype(jnp.float32), _NEG
+    )
     # Sort-free top-MH: re-rank the post-NMS scores, then gather rank r into
     # slot r with a rank-one-hot matmul (ties break to the lower original
     # index, matching lax.top_k).
@@ -312,8 +398,8 @@ def _prepare_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray):
         pick_rank[None, :] == jnp.arange(mh, dtype=jnp.int32)[:, None]
     ).astype(jnp.float32)                             # [MH, S]
     picked = pick_oh @ jnp.stack([
-        ssel[..., 4], seed_x, seed_y, seed_scale, seed_score,
-        seed_keep.astype(jnp.float32),
+        seed_part.astype(jnp.float32), seed_x, seed_y, seed_scale,
+        seed_score, seed_keep.astype(jnp.float32),
     ], axis=-1)                                       # [MH, 6]
 
     # Validity folded into the candidate score (w = exp * score, so a zero

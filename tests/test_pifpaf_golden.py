@@ -6,14 +6,16 @@ faithful sequential oracle) on randomized multi-person fields.
 
 Intentional divergences of the TPU decoder (see ops/pifpaf_decode.py
 docstring): lazy top-C hi-res CIF evaluated at float query points vs the
-oracle's dense grid sampled at rounded ints; bounded top-K seed/candidate
-tables; parallel Jacobi frontier growth vs sequential heapq commit order;
-seed NMS + rank-ordered keypoint NMS vs sequential occupancy maps (the
-oracle's corner-occupancy quirk is not reproduced). Agreement is therefore
-asserted as a keypoint-level match RATE with a pixel tolerance, not
-bit-equality: measured 96.5% of oracle keypoints within 5 px over 32
-scenes (26/32 counts equal; crowded 6-8-person subset 94.7%), asserted
->= 94% aggregate / >= 85% crowded / counts equal on >= 75% of scenes.
+oracle's dense grid sampled at rounded ints; bounded candidate tables;
+parallel Jacobi frontier growth vs sequential heapq commit order;
+component-grouped parallel seed picks + rank-ordered keypoint NMS vs
+sequential occupancy maps (the oracle's corner-occupancy quirk is not
+reproduced). Agreement is therefore asserted as a keypoint-level match
+RATE with a pixel tolerance, not bit-equality: measured (round 4, after
+per-part peak seeding + person-component picks + max_humans=32) 99.7% of
+oracle keypoints within 5 px over 32 scenes, counts equal on 32/32,
+crowded 6-8-person subset 99.3%; asserted >= 98% aggregate / >= 95%
+crowded / counts equal on >= 90% of scenes.
 """
 import numpy as np
 import pytest
@@ -150,8 +152,8 @@ def test_randomized_match_rate():
     transcription costs ~5-40 s/scene, so its deterministic results are
     committed by golden_pifpaf_fixture.py; the live oracle still runs in
     test_two_people_fixture_agrees). Thresholds are the measured agreement
-    minus a small margin (measured with this seed: 96.5% keypoints within
-    5 px, counts equal on 26/32 scenes, crowded-subset rate 94.7%) — see
+    minus a small margin (measured with this seed: 99.7% keypoints within
+    5 px, counts equal on 32/32 scenes, crowded-subset rate 99.3%) — see
     ops/pifpaf_decode.py docstring, which states the same numbers."""
     from golden_pifpaf_fixture import golden_scenes, load_oracle
 
@@ -173,13 +175,13 @@ def test_randomized_match_rate():
         count_agree += int(len(oracle) == len(ours))
     assert total > 1500, f"oracle found too few keypoints ({total})"
     rate = matched / total
-    assert rate >= 0.94, f"keypoint match rate {rate:.3f} ({matched}/{total})"
+    assert rate >= 0.98, f"keypoint match rate {rate:.3f} ({matched}/{total})"
     crowd_rate = crowd_matched / max(crowd_total, 1)
-    assert crowd_rate >= 0.85, (
+    assert crowd_rate >= 0.95, (
         f"crowded-scene match rate {crowd_rate:.3f} "
         f"({crowd_matched}/{crowd_total})"
     )
-    assert count_agree >= int(0.75 * n_scenes), (
+    assert count_agree >= int(0.90 * n_scenes), (
         f"human-count agreement {count_agree}/{n_scenes}"
     )
 
