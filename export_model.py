@@ -27,6 +27,10 @@ def main():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--with_decode", action="store_true",
                    help="serialize forward+decode instead of forward only")
+    p.add_argument("--format", nargs="*", default=["stablehlo"],
+                   choices=["stablehlo", "pb", "tflite", "tflite_uint8"],
+                   help="extra interchange artifacts (reference: "
+                   "export_pb.py / export_tflite.py)")
     args = p.parse_args()
 
     Config.set_model_name(args.model_name)
@@ -85,11 +89,42 @@ def main():
                     if not isinstance(v, (list, tuple))}
 
     example = jnp.zeros((args.batch_size, *hw, 3), jnp.uint8)
-    exe_path = os.path.join(
-        args.output_dir, f"{args.model_name}.stablehlo"
-    )
-    export_serialized(fn, (example,), exe_path)
-    print(f"serialized executable -> {exe_path}")
+    if "stablehlo" in args.format:
+        exe_path = os.path.join(
+            args.output_dir, f"{args.model_name}.stablehlo"
+        )
+        export_serialized(fn, (example,), exe_path)
+        print(f"serialized executable -> {exe_path}")
+    if {"pb", "tflite", "tflite_uint8"} & set(args.format):
+        from hyperpose_tpu.utils.export import export_pb, export_tflite
+
+        def fwd_f32(x):
+            out = model.apply(variables, x, train=False)
+            return {k: v.astype(jnp.float32) for k, v in out.items()
+                    if not isinstance(v, (list, tuple))}
+
+        if "pb" in args.format:
+            pb_path = os.path.join(
+                args.output_dir, f"frozen_{args.model_name}.pb"
+            )
+            export_pb(fwd_f32, (args.batch_size, *hw, 3), pb_path)
+            print(f"frozen graph -> {pb_path}")
+        if "tflite" in args.format or "tflite_uint8" in args.format:
+            import numpy as np
+
+            ex = np.zeros((args.batch_size, *hw, 3), np.float32)
+            tfl_path = os.path.join(
+                args.output_dir, f"{args.model_name}.tflite"
+            )
+            rep = None
+            if "tflite_uint8" in args.format:
+                rng = np.random.default_rng(0)
+                rep = [rng.random((args.batch_size, *hw, 3), np.float32)
+                       for _ in range(8)]
+            export_tflite(fwd_f32, ex, tfl_path,
+                          representative_inputs=rep,
+                          quantize_uint8="tflite_uint8" in args.format)
+            print(f"tflite -> {tfl_path}")
     stats = measure_flops(fn, example)
     print(f"analytical cost: {stats['flops'] / 1e9:.2f} GFLOP / batch, "
           f"{stats['bytes_accessed'] / 1e6:.1f} MB accessed")

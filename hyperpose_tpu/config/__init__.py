@@ -313,6 +313,18 @@ def set_learning_rate(lr: float) -> None:
     _set("train", "lr_init", lr)
 
 
+def set_lr_decay(every_step: int | None = None,
+                 factor: float | None = None) -> None:
+    """Stepwise lr decay knobs (reference: config Train.lr_decay_every_step
+    / lr_decay_factor, mutated via the edict in Config.config_ppn.py etc.;
+    the reference defaults target million-step runs — short runs want
+    explicit boundaries)."""
+    if every_step is not None:
+        _set("train", "lr_decay_every_step", every_step)
+    if factor is not None:
+        _set("train", "lr_decay_factor", factor)
+
+
 def set_train_devices(n_devices: int, spatial_parallel: int = 1) -> None:
     _set("train", "n_devices", n_devices)
     _set("train", "spatial_parallel", spatial_parallel)

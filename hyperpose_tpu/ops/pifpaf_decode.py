@@ -65,6 +65,9 @@ class PifPafDecoderConfig:
     seeds_per_part: int = 12
     max_flat_seeds: int = 64   # extra raster-order seed candidates
     max_paf_cands: int = 128   # Kc per limb (shared by ALL people's limbs)
+    # Person-component seed grouping (the parallel occupancy analog);
+    # False falls back to a plain global top-K pick (ablation knob).
+    component_picks: bool = True
     # Grown annotations per image. The oracle grows EVERY non-occupied
     # seed and lets NMS + filters reduce; 16 slots starve crowded scenes
     # (measured: 8-person scenes lose their most-occluded people at 16,
@@ -84,8 +87,13 @@ class PifPafDecoderConfig:
     part_num_thresh: int = 4
     score_thresh: float = 0.1
     reverse_match: bool = True
-    # Growth-phase backend: "auto" = fused pallas kernel on TPU (interpreted
-    # on CPU only when forced), XLA elsewhere; "pallas" / "xla" force one.
+    # Growth-phase backend: "auto" = fused pallas kernel on TPU
+    # (interpreted on CPU only when forced), XLA fori_loop elsewhere;
+    # "pallas" / "xla" force one. Round-4 measurement (MH=32/K=128,
+    # honest chained loop, fresh compile cache): pallas 12.1 ms/b8 decode
+    # with a 10 s cold compile (the kernel's growth rounds are now an
+    # in-kernel fori_loop — unrolled they cost ~113 s of Mosaic compile),
+    # XLA 24.5 ms/b8.
     grow_backend: str = "auto"
     # Unroll the XLA growth rounds instead of lax.fori_loop (jaxpr is ~8x
     # larger; kept for compile-vs-runtime ablation).
@@ -350,46 +358,87 @@ def _prepare_one(maps: dict, cfg: PifPafDecoderConfig, limbs: np.ndarray):
     # slot (remaining slots go to the next-strongest seeds as redundancy
     # against wrongly-merged components; final keypoint NMS dedups).
     S = seed_part.shape[0]
-    e_src_j = jnp.asarray(np.concatenate([src_parts, dst_parts]))
-    e_dst_j = jnp.asarray(np.concatenate([dst_parts, src_parts]))
-
-    def link_one_edge(e):
-        ms = jnp.where(e_valid[e], e_score[e], 0.0)
-        fc, fx, fy, _ = jax.vmap(
-            lambda x0, y0, s0: _find_connection(
-                em_x[e], em_y[e], ms, e_valid[e],
-                eo_x[e], eo_y[e], eo_s[e], x0, y0, s0,
-            )
-        )(seed_x, seed_y, jnp.maximum(seed_scale, cfg.min_scale))
-        on_src = seed_keep & (seed_part == e_src_j[e]) & (fc > 0.0)
-        occ_j = jnp.maximum(cfg.min_scale, seed_scale)
-        near_j = (
-            seed_keep[None, :]
-            & (seed_part[None, :] == e_dst_j[e])
-            & (jnp.abs(fx[:, None] - seed_x[None, :]) <= occ_j[None, :])
-            & (jnp.abs(fy[:, None] - seed_y[None, :]) <= occ_j[None, :])
+    if not cfg.component_picks:
+        pick_scores = jnp.where(seed_keep, seed_score, _NEG)
+        return _finish_prepare(
+            cfg, pick_scores, seed_part, seed_x, seed_y, seed_scale,
+            seed_score, seed_keep, e_valid, e_score,
+            em_x, em_y, eo_x, eo_y, eo_s,
         )
-        return on_src[:, None] & near_j                    # [S, S]
+    # Linking runs over the PEAK seeds only, exploiting the [P, Sp] block
+    # layout: for each directed edge its source/target seeds are one
+    # statically-known part block, so the match evaluation is [E, Sp, K]
+    # and proximity [E, Sp, Sp] — ~20x less work than all-seed pairs.
+    # Kept FLAT seeds (merged-blob second cells that survived seed NMS)
+    # are treated as singleton components: they only exist when they are
+    # not a duplicate of any peak seed, i.e. likely an extra person.
+    n_peak = p * sp_cap
+    e_src_np = np.concatenate([src_parts, dst_parts])   # [E] static
+    e_dst_np = np.concatenate([dst_parts, src_parts])
+    blk = lambda v: v[:n_peak].reshape(p, sp_cap)
+    bx, by = blk(seed_x), blk(seed_y)
+    bsc = jnp.maximum(blk(seed_scale), cfg.min_scale)
+    bkeep = blk(seed_keep)
 
-    adj = jnp.any(jax.vmap(link_one_edge)(jnp.arange(n_edges)), axis=0)
-    adj = adj | adj.T | jnp.eye(S, dtype=bool)
-    labels0 = jnp.where(seed_keep, jnp.arange(S, dtype=jnp.int32), S)
+    qx, qy, qs = bx[e_src_np], by[e_src_np], bsc[e_src_np]   # [E, Sp]
+    qkeep = bkeep[e_src_np]
+    ms_all = jnp.where(e_valid, e_score, 0.0)
+
+    fc, fx, fy, _ = jax.vmap(jax.vmap(
+        _find_connection,
+        in_axes=(None, None, None, None, None, None, None, 0, 0, 0),
+    ))(em_x, em_y, ms_all, e_valid, eo_x, eo_y, eo_s, qx, qy, qs)
+
+    tx, ty = bx[e_dst_np], by[e_dst_np]                      # [E, Sp]
+    tocc = bsc[e_dst_np]
+    tkeep = bkeep[e_dst_np]
+    near = (
+        (qkeep & (fc > 0.0))[:, :, None]
+        & tkeep[:, None, :]
+        & (jnp.abs(fx[:, :, None] - tx[:, None, :]) <= tocc[:, None, :])
+        & (jnp.abs(fy[:, :, None] - ty[:, None, :]) <= tocc[:, None, :])
+    )                                                        # [E, Sp, Sp]
+    sp_i = np.arange(sp_cap)
+    rows = (e_src_np[:, None, None] * sp_cap
+            + sp_i[None, :, None] + 0 * sp_i[None, None, :]).reshape(-1)
+    cols = (e_dst_np[:, None, None] * sp_cap
+            + 0 * sp_i[None, :, None] + sp_i[None, None, :]).reshape(-1)
+    adj = jnp.zeros((n_peak, n_peak), bool)
+    adj = adj.at[rows, cols].max(near.reshape(-1))
+    adj = adj | adj.T | jnp.eye(n_peak, dtype=bool)
+    pkeep = seed_keep[:n_peak]
+    labels0 = jnp.where(pkeep, jnp.arange(n_peak, dtype=jnp.int32), n_peak)
 
     def prop(_, lab):
-        return jnp.min(jnp.where(adj, lab[None, :], S), axis=1)
+        return jnp.min(jnp.where(adj, lab[None, :], n_peak), axis=1)
 
     labels = lax.fori_loop(0, 10, prop, labels0)
-    # component representative: highest-scoring kept seed per label
-    # (index tie-break), computed via a masked [S, S] max
+    # component representative: highest-scoring kept peak seed per label
+    # (index tie-break), computed via a masked [n_peak, n_peak] max
     same_comp = labels[:, None] == labels[None, :]
-    key = jnp.where(seed_keep, seed_score, _NEG) \
-        - jnp.arange(S, dtype=jnp.float32) * 1e-7
+    key = jnp.where(pkeep, seed_score[:n_peak], _NEG) \
+        - jnp.arange(n_peak, dtype=jnp.float32) * 1e-7
     comp_best = jnp.max(jnp.where(same_comp, key[None, :], _NEG), axis=1)
-    is_rep = seed_keep & (key >= comp_best)
+    is_rep = jnp.concatenate([
+        pkeep & (key >= comp_best),
+        seed_keep[n_peak:],            # kept flat seeds: singleton reps
+    ])
     # tier-0 reps, tier-1 redundancy — the bonus dominates any score
     pick_scores = jnp.where(
         seed_keep, seed_score + 10.0 * is_rep.astype(jnp.float32), _NEG
     )
+    return _finish_prepare(
+        cfg, pick_scores, seed_part, seed_x, seed_y, seed_scale,
+        seed_score, seed_keep, e_valid, e_score,
+        em_x, em_y, eo_x, eo_y, eo_s,
+    )
+
+
+def _finish_prepare(cfg, pick_scores, seed_part, seed_x, seed_y, seed_scale,
+                    seed_score, seed_keep, e_valid, e_score,
+                    em_x, em_y, eo_x, eo_y, eo_s):
+    """Shared tail of _prepare_one: sort-free top-MH pick + edge tables."""
+    mh = cfg.max_humans
     # Sort-free top-MH: re-rank the post-NMS scores, then gather rank r into
     # slot r with a rank-one-hot matmul (ties break to the lower original
     # index, matching lax.top_k).

@@ -44,6 +44,8 @@ def parse_args():
     parser.add_argument("--n_step", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--lr_init", type=float, default=None)
+    parser.add_argument("--lr_decay_every_step", type=int, default=None)
+    parser.add_argument("--lr_decay_factor", type=float, default=None)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--input_hw", type=str, default=None,
@@ -117,6 +119,8 @@ def main():
         Config.set_batch_size(args.batch_size)
     if args.lr_init:
         Config.set_learning_rate(args.lr_init)
+    if args.lr_decay_every_step or args.lr_decay_factor:
+        Config.set_lr_decay(args.lr_decay_every_step, args.lr_decay_factor)
 
     config = Config.get_config()
     if args.n_step:
