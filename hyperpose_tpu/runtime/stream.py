@@ -201,6 +201,11 @@ class StreamProcessor:
         def worker():
             try:
                 self._preproc_loop()
+            except BaseException:
+                # A dead worker drops the frames it had popped (the reorder
+                # buffer skips the gap at EOF); surface it loudly instead
+                # of letting the pool trampoline swallow the traceback.
+                logger.exception("stream preproc worker died")
             finally:
                 with lock:
                     remaining[0] -= 1
