@@ -270,3 +270,33 @@ def test_native_pool_runs_tasks():
     pool.wait()
     assert sorted(results) == list(range(32))
     pool.close()
+
+
+def test_stream_reorders_shuffled_preproc():
+    """The ordering guarantee under CONCURRENT preproc workers
+    (reference: the single-writer ordering of stream.hpp:82-87): with
+    several workers racing and per-frame jitter injected into the resize
+    stage, results must still come out strictly in frame order."""
+    rng = np.random.default_rng(3)
+
+    class _JitterEngine(_FakeEngine):
+        pass
+
+    engine = _JitterEngine()
+    sp = StreamProcessor(engine, n_preproc=3)
+    orig_prep = sp._prep_frame
+
+    def jittered(frame):
+        time.sleep(float(rng.uniform(0, 0.004)))
+        return orig_prep(frame)
+
+    sp._prep_frame = jittered
+    # frames carry their index in pixel 0 so identity is checkable
+    frames = []
+    for i in range(60):
+        f = np.zeros((32, 32, 3), np.uint8)
+        f[0, 0, 0] = i % 251
+        frames.append(f)
+    out = list(sp.process(iter(frames)))
+    assert [r.index for r in out] == list(range(60))
+    assert [int(r.frame[0, 0, 0]) for r in out] == [i % 251 for i in range(60)]
