@@ -35,6 +35,10 @@ def parse_args():
                              "multi-person benchmark (generated under "
                              "--dataset_path when missing; see ACCURACY.md)")
     parser.add_argument("--synthetic_seed", type=int, default=0)
+    parser.add_argument("--ppn_decoder", type=str, default=None,
+                        help="PoseProposal decode-threshold overrides as "
+                             "k=v[,k=v...] (e.g. thresh_part_score=0.1,"
+                             "min_parts=3); see scripts/tune_ppn_decode.py")
     return parser.parse_args()
 
 
@@ -63,6 +67,12 @@ def main():
             # the MPII-format twin lives under <root>/mpii
             args.dataset_path = os.path.join(args.dataset_path, "mpii")
     Config.set_dataset_path(args.dataset_path)
+    if args.ppn_decoder:
+        kv = {}
+        for item in args.ppn_decoder.split(","):
+            k, v = item.split("=")
+            kv[k.strip()] = int(v) if v.strip().isdigit() else float(v)
+        Config.set_ppn_decoder(**kv)
     config = Config.get_config()
     config.eval.multiscale = args.multiscale
 

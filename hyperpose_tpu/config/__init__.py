@@ -96,6 +96,14 @@ class ModelConfig:
     lmd_coor: float = 5.0
     lmd_size: float = 5.0
     lmd_limb: float = 0.5
+    # PoseProposal decode-threshold overrides: dict of PpnDecoderConfig
+    # field overrides ({thresh_part_score, thresh_edge_score,
+    # thresh_nms_iou, min_parts, ...}). None keeps the reference parser's
+    # constants (reference: src/pose_proposal.cpp:24-31 parser defaults).
+    # A net trained with MSE response losses is under-confident relative
+    # to painted targets, so trained deployments tune this on held-out
+    # data (scripts/tune_ppn_decode.py).
+    ppn_decoder: Any = None
     # Custom component hooks (reference: Config/__init__.py:512-535)
     # model_arch: user-supplied callable (config) -> flax module replacing
     # the built-in architectures (reference: Config/__init__.py:176-203
@@ -323,6 +331,15 @@ def set_lr_decay(every_step: int | None = None,
         _set("train", "lr_decay_every_step", every_step)
     if factor is not None:
         _set("train", "lr_decay_factor", factor)
+
+
+def set_ppn_decoder(**overrides) -> None:
+    """Override PoseProposal decode thresholds (PpnDecoderConfig fields:
+    thresh_part_score, thresh_edge_score, thresh_nms_iou, min_parts, ...).
+    The defaults mirror the reference parser's constants
+    (src/pose_proposal.cpp:24-31); trained models pick their operating
+    point with scripts/tune_ppn_decode.py."""
+    _set("model", "ppn_decoder", overrides or None)
 
 
 def set_train_devices(n_devices: int, spatial_parallel: int = 1) -> None:

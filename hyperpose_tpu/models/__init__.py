@@ -182,9 +182,14 @@ def get_postprocessor(config: Config):
     if mt == MODEL.PoseProposal:
         from ..utils.topology import instance_part_idx
 
+        cfg = PpnDecoderConfig(instance_part=instance_part_idx(topo))
+        if m.ppn_decoder:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, **dict(m.ppn_decoder))
         return partial(
             ppn_decode_batch,
-            cfg=PpnDecoderConfig(instance_part=instance_part_idx(topo)),
+            cfg=cfg,
             hnei=m.hnei, wnei=m.wnei, in_hw=(m.hin, m.win), topology=topo,
         )
     if mt == MODEL.Pifpaf:

@@ -205,3 +205,25 @@ def test_set_multiple_dataset_and_vis_interval():
     assert cfg.data.dataset_type == Config.DATA.MULTIPLE
     assert cfg.train.vis_interval == 123
     Config.reset()
+
+
+def test_ppn_decoder_config_override():
+    """set_ppn_decoder overrides flow into the PPN postprocessor's
+    PpnDecoderConfig (tuned operating points, scripts/tune_ppn_decode.py);
+    defaults stay at the reference parser constants."""
+    Config.set_model_type(Config.MODEL.PoseProposal)
+    try:
+        cfg = Config.get_config(create_dirs=False)
+        post = Model.get_postprocessor(cfg)
+        assert post.keywords["cfg"].thresh_part_score == 0.2
+
+        Config.set_ppn_decoder(thresh_part_score=0.1, min_parts=3)
+        cfg = Config.get_config(create_dirs=False)
+        post = Model.get_postprocessor(cfg)
+        dec = post.keywords["cfg"]
+        assert dec.thresh_part_score == 0.1
+        assert dec.min_parts == 3
+        assert dec.thresh_edge_score == 0.2  # untouched fields keep defaults
+    finally:
+        Config.set_ppn_decoder()
+        Config.set_model_type(Config.MODEL.LightweightOpenpose)
