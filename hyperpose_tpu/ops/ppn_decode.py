@@ -32,6 +32,13 @@ class PpnDecoderConfig:
     thresh_nms_iou: float = 0.3
     min_parts: int = 4
     instance_part: int = 1       # PpnCocoPart.Instance
+    # Measured negative result (round 4): a 3x3 confidence-weighted
+    # soft-argmax coordinate refinement was tried and REMOVED — it costs
+    # ~2 AP on trained checkpoints (0.642 vs 0.663 tune-split) because the
+    # loss trains non-gt cells toward their OWN cell centers (the
+    # half-offset prior, models/pose_proposal.py:111), so neighbor
+    # coordinates carry no information about the keypoint and the average
+    # drags predictions toward cell centers.
 
 
 def _iou_matrix(boxes: jax.Array) -> jax.Array:

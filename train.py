@@ -56,6 +56,10 @@ def parse_args():
                              "multi-person benchmark (generated under "
                              "--dataset_path when missing; see ACCURACY.md)")
     parser.add_argument("--synthetic_seed", type=int, default=0)
+    parser.add_argument("--synthetic_train_scenes", type=int, default=None,
+                        help="enlarge the synthetic TRAIN split to this "
+                             "many scenes (per-scene seeding keeps the val "
+                             "split byte-identical; see data/synthetic.py)")
     return parser.parse_args()
 
 
@@ -77,8 +81,11 @@ def main():
     if args.synthetic:
         from hyperpose_tpu.data.synthetic import ensure_synthetic_dataset
 
+        kw = {}
+        if args.synthetic_train_scenes:
+            kw["n_train"] = args.synthetic_train_scenes
         args.dataset_path = ensure_synthetic_dataset(
-            args.dataset_path, seed=args.synthetic_seed
+            args.dataset_path, seed=args.synthetic_seed, **kw
         )
         if args.dataset_type == "MPII":
             # the MPII-format twin lives under <root>/mpii
