@@ -122,3 +122,29 @@ def test_mpii_twin_gt_scores_perfect(synth_root):
     res = pckh_eval(preds, gt)
     # >= 100 due to the reference numerator quirk (invisible-joint hits)
     assert res["Mean"] >= 99.9
+
+
+def test_val_split_invariant_to_train_size(tmp_path):
+    """Enlarging the train split (train.py --synthetic_train_scenes) must
+    keep the val split byte-identical: per-scene seeding offsets val by
+    10**6, so n_train never touches val rngs or ids."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    generate_synthetic_coco(a, n_train=3, n_val=2, seed=5)
+    generate_synthetic_coco(b, n_train=9, n_val=2, seed=5)
+
+    def val_ann(root):
+        with open(os.path.join(
+            root, "annotations", "person_keypoints_val2017.json"
+        )) as f:
+            return json.load(f)
+
+    assert val_ann(a) == val_ann(b)
+    for fname in sorted(os.listdir(os.path.join(a, "val2017"))):
+        with open(os.path.join(a, "val2017", fname), "rb") as fa, \
+             open(os.path.join(b, "val2017", fname), "rb") as fb:
+            assert fa.read() == fb.read(), f"val image {fname} differs"
+    # and the enlarged train split really is bigger, with the original
+    # scenes as a prefix
+    ta = sorted(os.listdir(os.path.join(a, "train2017")))
+    tb = sorted(os.listdir(os.path.join(b, "train2017")))
+    assert len(tb) == 9 and ta == tb[:3]
