@@ -35,11 +35,46 @@ def parse_args():
                              "multi-person benchmark (generated under "
                              "--dataset_path when missing; see ACCURACY.md)")
     parser.add_argument("--synthetic_seed", type=int, default=0)
+    parser.add_argument("--synthetic_train_scenes", type=int, default=None,
+                        help="match a dataset generated with this train-split "
+                             "size (train.py --synthetic_train_scenes); any "
+                             "existing dir with >= this many train scenes is "
+                             "accepted as-is")
     parser.add_argument("--ppn_decoder", type=str, default=None,
                         help="PoseProposal decode-threshold overrides as "
                              "k=v[,k=v...] (e.g. thresh_part_score=0.1,"
                              "min_parts=3); see scripts/tune_ppn_decode.py")
     return parser.parse_args()
+
+
+def parse_ppn_decoder(spec: str) -> dict:
+    """Parse k=v[,k=v...] decode-threshold overrides, validating keys against
+    PpnDecoderConfig fields and parsing numbers tolerantly (int then float,
+    so negative ints stay ints)."""
+    import dataclasses
+
+    from hyperpose_tpu.ops.ppn_decode import PpnDecoderConfig
+
+    valid = {f.name for f in dataclasses.fields(PpnDecoderConfig)}
+    kv = {}
+    for item in spec.split(","):
+        if item.count("=") != 1:
+            raise SystemExit(
+                f"--ppn_decoder: bad token {item!r} (expected key=value)")
+        k, v = (s.strip() for s in item.split("="))
+        if k not in valid:
+            raise SystemExit(
+                f"--ppn_decoder: unknown key {k!r} "
+                f"(valid: {', '.join(sorted(valid))})")
+        try:
+            kv[k] = int(v)
+        except ValueError:
+            try:
+                kv[k] = float(v)
+            except ValueError:
+                raise SystemExit(
+                    f"--ppn_decoder: non-numeric value {v!r} for {k!r}")
+    return kv
 
 
 def main():
@@ -60,19 +95,18 @@ def main():
     if args.synthetic:
         from hyperpose_tpu.data.synthetic import ensure_synthetic_dataset
 
+        kw = {}
+        if args.synthetic_train_scenes:
+            kw["n_train"] = args.synthetic_train_scenes
         args.dataset_path = ensure_synthetic_dataset(
-            args.dataset_path, seed=args.synthetic_seed
+            args.dataset_path, seed=args.synthetic_seed, **kw
         )
         if args.dataset_type == "MPII":
             # the MPII-format twin lives under <root>/mpii
             args.dataset_path = os.path.join(args.dataset_path, "mpii")
     Config.set_dataset_path(args.dataset_path)
     if args.ppn_decoder:
-        kv = {}
-        for item in args.ppn_decoder.split(","):
-            k, v = item.split("=")
-            kv[k.strip()] = int(v) if v.strip().isdigit() else float(v)
-        Config.set_ppn_decoder(**kv)
+        Config.set_ppn_decoder(**parse_ppn_decoder(args.ppn_decoder))
     config = Config.get_config()
     config.eval.multiscale = args.multiscale
 

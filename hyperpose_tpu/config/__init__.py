@@ -144,6 +144,9 @@ class TrainConfig:
     # alternative to adding data-parallel workers when HBM bounds the
     # per-step batch; no reference analog.
     grad_accum_steps: int = 1
+    # global-norm gradient clip (0/None disables); stabilizes the 6-stage
+    # staged-sum loss at bf16 + aggressive lrs
+    grad_clip_norm: float = 0.0
     # Weight of the adversarial domain-adaptation generator loss
     # (reference: Model/train.py:230-262 dmadapt g-loss term).
     lambda_adapt: float = 1.0
@@ -412,6 +415,11 @@ def set_grad_accum_steps(steps: int) -> None:
     micro-batches (TPU-native large-effective-batch knob; no reference
     analog)."""
     _set("train", "grad_accum_steps", int(steps))
+
+
+def set_grad_clip_norm(norm: float) -> None:
+    """Global-norm gradient clipping (0 disables)."""
+    _set("train", "grad_clip_norm", float(norm))
 
 
 def set_custom_parts(parts) -> None:

@@ -271,6 +271,7 @@ def generate_synthetic_coco(
     root: str, n_train: int = 400, n_val: int = 100, seed: int = 0,
     sizes=((368, 432), (427, 640), (480, 640), (384, 512)),
     version: str = "2017", jpeg_quality: int = 92, emit_mpii: bool = True,
+    train_start: int = 0,
 ) -> str:
     """Write a synthetic dataset in real COCO layout under `root`:
       <root>/annotations/person_keypoints_{train,val}<version>.json
@@ -279,6 +280,13 @@ def generate_synthetic_coco(
       mpii_annotations.json + images/ (val scenes; img_train=0).
 
     Deterministic in (seed, n_train, n_val, sizes). Returns `root`.
+
+    `train_start` shifts the train split to scene indices
+    [train_start, train_start + n_train): per-scene seeding means these are
+    exactly the scenes a longer train split would have continued with, so a
+    tail slice beyond a model's training range is a held-out tune split
+    (scripts/tune_ppn_decode.py). Must keep train_start + n_train < 10**6
+    (the val scene-index offset).
     """
     import cv2
 
@@ -287,7 +295,10 @@ def generate_synthetic_coco(
     if emit_mpii:
         os.makedirs(os.path.join(root, "mpii", "images"), exist_ok=True)
 
-    for split, n_imgs, seed_off in (("train", n_train, 0), ("val", n_val, 10**6)):
+    assert train_start + n_train < 10**6, "train scenes must stay below the val offset"
+    for split, n_imgs, seed_off in (
+        ("train", n_train, train_start), ("val", n_val, 10**6),
+    ):
         img_dir = os.path.join(root, f"{split}{version}")
         os.makedirs(img_dir, exist_ok=True)
         images, annotations = [], []
@@ -391,9 +402,133 @@ def ensure_synthetic_dataset(
     meta = {"seed": seed, "n_train": n_train, "n_val": n_val, "rev": 2}
     if os.path.exists(marker):
         with open(marker) as f:
+            have = json.load(f)
+        # A dataset generated with MORE train scenes is a superset: per-scene
+        # seeding makes scene i byte-identical regardless of n_train, and the
+        # val split is offset-isolated — so eval/tune runs against a dir built
+        # with --synthetic_train_scenes never clobber it by regenerating.
+        if have == meta or (
+            {k: have.get(k) for k in ("seed", "n_val", "rev")}
+            == {k: meta[k] for k in ("seed", "n_val", "rev")}
+            and have.get("n_train", -1) >= n_train
+        ):
+            return root
+    generate_synthetic_coco(root, n_train=n_train, n_val=n_val, seed=seed)
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+    return root
+
+
+# ---------------------------------------------------------------------------
+# Synthetic ImageNet (backbone-pretraining twin)
+# ---------------------------------------------------------------------------
+
+_IN_SHAPES = ("circle", "square", "triangle", "star", "cross")
+_IN_COLORS = (
+    ("red", (220, 40, 40)), ("green", (40, 200, 60)),
+    ("blue", (50, 80, 230)), ("yellow", (230, 210, 40)),
+    ("magenta", (210, 50, 200)),
+)
+
+
+def _render_imagenet_sample(rng, size: int, shape: str, color) -> np.ndarray:
+    """One class sample: textured background + the class shape at random
+    position/scale/rotation with brightness jitter. Classification requires
+    learning shape+color invariances, not a pixel lookup."""
+    import cv2
+
+    img = rng.integers(0, 90, (size, size, 3)).astype(np.uint8)
+    # background distractor blobs (class-uninformative: gray)
+    for _ in range(int(rng.integers(2, 6))):
+        c = (int(rng.integers(0, size)), int(rng.integers(0, size)))
+        g = int(rng.integers(90, 160))
+        cv2.circle(img, c, int(rng.integers(2, size // 8 + 2)), (g, g, g), -1)
+    scale = float(rng.uniform(0.25, 0.42)) * size
+    cx = float(rng.uniform(scale, size - scale))
+    cy = float(rng.uniform(scale, size - scale))
+    rot = float(rng.uniform(0, 2 * np.pi))
+    bright = float(rng.uniform(0.6, 1.25))
+    col = tuple(int(min(255, v * bright)) for v in color)
+
+    def pts(angles, radii):
+        return np.stack([
+            (cx + np.cos(a + rot) * r, cy + np.sin(a + rot) * r)
+            for a, r in zip(angles, radii)
+        ]).astype(np.int32)
+
+    if shape == "circle":
+        cv2.circle(img, (int(cx), int(cy)), int(scale), col, -1)
+    elif shape == "square":
+        ang = np.pi / 2 * np.arange(4) + np.pi / 4
+        cv2.fillPoly(img, [pts(ang, [scale] * 4)], col)
+    elif shape == "triangle":
+        ang = 2 * np.pi / 3 * np.arange(3)
+        cv2.fillPoly(img, [pts(ang, [scale] * 3)], col)
+    elif shape == "star":
+        ang = np.pi / 5 * np.arange(10)
+        radii = [scale if i % 2 == 0 else scale * 0.45 for i in range(10)]
+        cv2.fillPoly(img, [pts(ang, radii)], col)
+    elif shape == "cross":
+        w = scale * 0.35
+        for a0 in (0.0, np.pi / 2):
+            ang = np.array([a0 + np.arctan2(w, scale),
+                            a0 + np.pi - np.arctan2(w, scale),
+                            a0 + np.pi + np.arctan2(w, scale),
+                            a0 - np.arctan2(w, scale)])
+            r = np.hypot(scale, w)
+            cv2.fillPoly(img, [pts(ang, [r] * 4)], col)
+    return img
+
+
+def generate_synthetic_imagenet(
+    root: str, n_classes: int = 10, n_train_per_class: int = 100,
+    n_val_per_class: int = 20, size: int = 96, seed: int = 0,
+    jpeg_quality: int = 92,
+) -> str:
+    """Folder-per-class dataset in the ImageNet layout the pretrain loop
+    expects (<root>/{train,val}/<class>/*.jpg; reference layout:
+    Dataset/imagenet_dataset/dataset.py:5-80). Classes are shape x color
+    pairs; deterministic per-sample seeding."""
+    import cv2
+
+    combos = [(s, cn, cv) for s in _IN_SHAPES for cn, cv in _IN_COLORS]
+    assert n_classes <= len(combos)
+    for split, n_per, off in (("train", n_train_per_class, 0),
+                              ("val", n_val_per_class, 10**6)):
+        for ci in range(n_classes):
+            shape, cname, cval = combos[ci]
+            cdir = os.path.join(root, split, f"class{ci:02d}_{shape}_{cname}")
+            os.makedirs(cdir, exist_ok=True)
+            for i in range(n_per):
+                rng = np.random.default_rng(
+                    seed * 2**40 + off + ci * 2**20 + i
+                )
+                img = _render_imagenet_sample(rng, size, shape, cval)
+                cv2.imwrite(
+                    os.path.join(cdir, f"img_{i:05d}.jpg"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality],
+                )
+    return root
+
+
+def ensure_synthetic_imagenet(
+    path: str | None = None, seed: int = 0, n_classes: int = 10,
+    n_train_per_class: int = 100, n_val_per_class: int = 20, size: int = 96,
+) -> str:
+    root = path or "./data_synth_imagenet"
+    marker = os.path.join(root, ".synthetic_imagenet_meta.json")
+    meta = {"seed": seed, "n_classes": n_classes,
+            "n_train_per_class": n_train_per_class,
+            "n_val_per_class": n_val_per_class, "size": size, "rev": 1}
+    if os.path.exists(marker):
+        with open(marker) as f:
             if json.load(f) == meta:
                 return root
-    generate_synthetic_coco(root, n_train=n_train, n_val=n_val, seed=seed)
+    generate_synthetic_imagenet(
+        root, n_classes=n_classes, n_train_per_class=n_train_per_class,
+        n_val_per_class=n_val_per_class, size=size, seed=seed,
+    )
     with open(marker, "w") as f:
         json.dump(meta, f)
     return root

@@ -61,6 +61,21 @@ def save_weights_npz(variables: dict, path: str) -> None:
     np.savez(path, **flat)
 
 
+def load_npz_tree(path: str) -> dict:
+    """Rebuild the nested dict a save_weights_npz flat npz came from
+    (no template needed; used by tolerant partial loads like the
+    pretrained-backbone graft)."""
+    data = np.load(path)
+    tree: dict = {}
+    for name in data.files:
+        node = tree
+        parts = name.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[name]
+    return tree
+
+
 def load_weights_npz(variables: dict, path: str) -> dict:
     """Restore a variables pytree from a flat npz written by
     save_weights_npz (shape-checked)."""

@@ -58,6 +58,13 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         opt = optax.rmsprop(sched)
     else:
         opt = optax.sgd(sched)
+    if cfg.train.grad_clip_norm:
+        # The 6-stage staged-sum L2 loss concentrates early-training
+        # gradient spikes (measured NaN at lr 5e-4 bf16 by step ~1.5k);
+        # global-norm clipping keeps the big models stable at useful lrs.
+        opt = optax.chain(
+            optax.clip_by_global_norm(cfg.train.grad_clip_norm), opt
+        )
     if cfg.train.grad_accum_steps > 1:
         # Every-k-step update: params stay fixed for k-1 micro-batches while
         # grads average, giving effective batch = k * batch_size per chip.
@@ -340,6 +347,26 @@ class Trainer:
         variables = self.model.init(rng, dummy, train=True)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        # pretrained-backbone graft: tolerant load of the pretrain loop's
+        # newest_<Backbone>.npz when present
+        # (reference: Model/train.py:191-195)
+        bcls = getattr(self.model, "backbone", None)
+        if bcls is not None and hasattr(bcls, "__name__"):
+            pre_npz = os.path.join(
+                cfg.pretrain.pretrain_model_dir,
+                f"newest_{bcls.__name__}.npz",
+            )
+            if os.path.exists(pre_npz):
+                from .pretrain import load_pretrained_backbone
+
+                grafted, n = load_pretrained_backbone(
+                    {"params": params, "batch_stats": batch_stats}, pre_npz
+                )
+                params = grafted["params"]
+                batch_stats = grafted["batch_stats"]
+                logger.info(
+                    "loaded pretrained backbone %s (%d tensors)", pre_npz, n
+                )
         opt_state = self.optimizer.init(params)
         return params, batch_stats, opt_state
 

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Sweep PoseProposal decode thresholds on a held-out TRAIN slice.
+"""Sweep PoseProposal decode thresholds on a held-out tune split.
 
 The PPN parser's thresholds (part score, edge score, NMS IoU, min parts)
 are eval-protocol constants in the reference (reference:
@@ -7,8 +7,10 @@ hyperpose/Model/pose_proposal/processor.py:36-42 hard-codes them). A net
 trained with MSE response losses is systematically under-confident
 relative to painted targets, so the painted-ceiling thresholds are not
 the trained-model optimum. This script picks the operating point on a
-TUNE split (a slice of train2017 scenes, disjoint from the 100-scene val
-protocol) so the reported val row stays honest.
+TUNE split — freshly rendered scenes just beyond the dataset's training
+range (per-scene seeding makes scene i deterministic regardless of
+n_train), disjoint from both the trained scenes and the 100-scene val
+protocol — so the reported val row stays honest.
 
 Forward runs ONCE per image; the sweep re-decodes cached maps, so adding
 grid points costs only (small) decode time.
@@ -50,6 +52,12 @@ def main():
     ap.add_argument("--weights", required=True)
     ap.add_argument("--n_tune", type=int, default=100)
     ap.add_argument("--dataset_path", default="./data_synth")
+    ap.add_argument("--tune_offset", type=int, default=None,
+                    help="first scene index of the held-out tune split; "
+                         "defaults to the dataset's n_train (i.e. the tail "
+                         "just beyond the training range — per-scene seeding "
+                         "makes those exactly the scenes a longer train "
+                         "split would have continued with)")
     ap.add_argument("--final_val", action="store_true",
                     help="after the sweep, score the best config on the "
                          "100-scene val protocol")
@@ -91,15 +99,47 @@ def main():
     variables = load_weights_npz(variables, args.weights)
     print(f"loaded {args.weights}")
 
-    # TUNE split: train-scene EvalRecords (disjoint from val2017).
-    train_images, by_img = dataset._parse_split("train")
-    img_dir = dataset._image_dir("train")
+    # TUNE split: HELD-OUT scenes beyond the training range (disjoint from
+    # both the trained scenes and val2017). Per-scene seeding means scene
+    # indices [n_train, n_train + n_tune) are exactly the scenes a longer
+    # train split would have continued with; rendering them into a sibling
+    # dir gives an out-of-sample tune split (round-4 data showed in-sample
+    # tuning reads ~+0.09 AP optimistic on memorized runs).
+    import copy
+
+    from hyperpose_tpu.data.synthetic import generate_synthetic_coco
+
+    with open(os.path.join(root, ".synthetic_meta.json")) as f:
+        ds_meta = json.load(f)
+    offset = args.tune_offset if args.tune_offset is not None \
+        else ds_meta["n_train"]
+    tune_root = f"{root.rstrip('/')}_tune{offset}_{args.n_tune}"
+    tune_marker = os.path.join(tune_root, ".tune_meta.json")
+    tune_meta = {"seed": ds_meta["seed"], "start": offset,
+                 "n": args.n_tune, "rev": 2}
+    regen = True
+    if os.path.exists(tune_marker):
+        with open(tune_marker) as f:
+            regen = json.load(f) != tune_meta
+    if regen:
+        generate_synthetic_coco(
+            tune_root, n_train=args.n_tune, n_val=0, seed=ds_meta["seed"],
+            emit_mpii=False, train_start=offset,
+        )
+        with open(tune_marker, "w") as f:
+            json.dump(tune_meta, f)
+    tune_config = copy.deepcopy(config)
+    tune_config.data.dataset_path = tune_root
+    tune_dataset = get_dataset(tune_config)
+    train_images, by_img = tune_dataset._parse_split("train")
+    img_dir = tune_dataset._image_dir("train")
     tune_records = [
         EvalRecord(os.path.join(img_dir, img["file_name"]), iid)
         for iid, img in sorted(train_images.items())
         if iid in by_img
     ][: args.n_tune]
-    print(f"tune split: {len(tune_records)} train scenes")
+    print(f"tune split: {len(tune_records)} held-out scenes "
+          f"(indices {offset}..{offset + args.n_tune - 1})")
 
     # Forward once, cache restored prediction maps on host.
     @jax.jit
@@ -128,7 +168,7 @@ def main():
         cached.append({k: np.asarray(v) for k, v in pred.items()})
     print(f"cached {len(cached)} forward batches")
 
-    scorer = CocoKeypointEval(dataset._ann_path("train"))
+    scorer = CocoKeypointEval(tune_dataset._ann_path("train"))
     # Reuse Evaluator's ann-building (topology + converter only).
     ev = Evaluator(model, variables, dataset, (m.hin, m.win),
                    dataset.output_converter, topo, batch_size=bs)

@@ -46,6 +46,8 @@ def parse_args():
     parser.add_argument("--lr_init", type=float, default=None)
     parser.add_argument("--lr_decay_every_step", type=int, default=None)
     parser.add_argument("--lr_decay_factor", type=float, default=None)
+    parser.add_argument("--grad_clip_norm", type=float, default=None,
+                        help="global-norm gradient clip (0 disables)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--input_hw", type=str, default=None,
@@ -128,6 +130,8 @@ def main():
         Config.set_learning_rate(args.lr_init)
     if args.lr_decay_every_step or args.lr_decay_factor:
         Config.set_lr_decay(args.lr_decay_every_step, args.lr_decay_factor)
+    if args.grad_clip_norm is not None:
+        Config.set_grad_clip_norm(args.grad_clip_norm)
 
     config = Config.get_config()
     if args.n_step:
