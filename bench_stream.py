@@ -80,11 +80,13 @@ def main():
     ap.add_argument("--host_only", action="store_true",
                     help="replace the device step with a no-op to measure "
                     "the host pipeline ceiling (read+preproc+batch+emit)")
-    ap.add_argument("--weights", default="save_dir/synth_tinyvgg_r3/model_dir",
-                    help="model_dir with an orbax ckpt/ to load trained "
-                    "weights from so frames decode to real humans (the "
+    ap.add_argument("--weights", default="weights/flagship_tinyvgg.npz",
+                    help="trained weights: a flat npz (weights/ published "
+                    "by scripts/retrain_flagship.py) or a model_dir with "
+                    "an orbax ckpt/, so frames decode to real humans (the "
                     "reference protocol measures drawn output); "
-                    "'none' benchmarks random-init weights")
+                    "'none' benchmarks random-init weights. A missing "
+                    "path is an ERROR — rows must be reproducible")
     args = ap.parse_args()
 
     import jax
@@ -108,7 +110,14 @@ def main():
     )
     trained = False
     ckpt_dir = os.path.join(args.weights, "ckpt")
-    if args.weights != "none" and os.path.isdir(ckpt_dir):
+    if args.weights == "none":
+        pass
+    elif args.weights.endswith(".npz") and os.path.exists(args.weights):
+        from hyperpose_tpu.train.checkpoint import load_weights_npz
+
+        variables = load_weights_npz(variables, args.weights)
+        trained = True
+    elif os.path.isdir(ckpt_dir):
         import orbax.checkpoint as ocp
 
         mngr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
@@ -117,9 +126,13 @@ def main():
             "params": state["params"], "batch_stats": state["batch_stats"],
         }
         trained = True
-    elif args.weights != "none":
-        print(f"# no checkpoint at {ckpt_dir}; using random init",
-              file=sys.stderr)
+    else:
+        raise SystemExit(
+            f"trained weights not found at {args.weights!r} — the stream "
+            "rows must be measured with trained weights (reference "
+            "protocol). Recreate them with scripts/retrain_flagship.py, "
+            "or pass --weights none to benchmark random init explicitly."
+        )
     kwargs = {}
     if args.max_batch_size:
         kwargs["max_batch_size"] = args.max_batch_size

@@ -120,32 +120,34 @@ def synth(tmp_path_factory):
     return root
 
 
-TRAINED_CKPT = os.path.join(
+TRAINED_NPZ = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "save_dir", "synth_tinyvgg_r3", "model_dir", "ckpt",
+    "weights", "flagship_tinyvgg.npz",
 )
 
 
 def test_tinyvgg_roundtrip_identical_eval(synth, tmp_path):
-    """LW-OpenPose TinyVGG at full input size with TRAINED weights: TL
-    export -> structural import -> bitwise-equal weights/maps and equal
+    """LW-OpenPose TinyVGG at full input size with TRAINED weights (the
+    committed flagship npz, recreatable via scripts/retrain_flagship.py):
+    TL export -> structural import -> bitwise-equal weights/maps and equal
     (non-trivial) AP through the real eval stack (VERDICT done-criterion:
     AP delta < 0.005; exact here)."""
-    if not os.path.isdir(TRAINED_CKPT):
-        pytest.skip("trained synthetic checkpoint not present")
+    assert os.path.exists(TRAINED_NPZ), (
+        f"{TRAINED_NPZ} missing — it is committed to the repo; recreate "
+        "with scripts/retrain_flagship.py"
+    )
     Config.reset()
     Config.set_model_type(Config.MODEL.LightweightOpenpose)
     Config.set_model_backbone(Config.BACKBONE.Vggtiny)
     Config.set_dataset_path(synth)
     cfg = Config.get_config(create_dirs=False)
     model = get_model(cfg)
-    import orbax.checkpoint as ocp
+    from hyperpose_tpu.train.checkpoint import load_weights_npz
 
-    mngr = ocp.CheckpointManager(TRAINED_CKPT)
-    state = mngr.restore(mngr.latest_step())
-    variables = {
-        "params": state["params"], "batch_stats": state["batch_stats"],
-    }
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *IN_HW, 3)), train=False
+    )
+    variables = load_weights_npz(variables, TRAINED_NPZ)
 
     entries, _ = lw_openpose_entries(backbone="vggtiny")
     entries = retarget_entries(
