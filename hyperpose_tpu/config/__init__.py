@@ -332,6 +332,10 @@ def set_lr_decay(every_step: int | None = None,
     explicit boundaries)."""
     if every_step is not None:
         _set("train", "lr_decay_every_step", every_step)
+        # explicit every-N decay overrides any per-model boundary schedule
+        # (config_pifpaf.py sets million-step boundaries that would
+        # otherwise silently shadow this knob)
+        _set("train", "lr_decay_steps", ())
     if factor is not None:
         _set("train", "lr_decay_factor", factor)
 

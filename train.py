@@ -48,6 +48,10 @@ def parse_args():
     parser.add_argument("--lr_decay_factor", type=float, default=None)
     parser.add_argument("--grad_clip_norm", type=float, default=None,
                         help="global-norm gradient clip (0 disables)")
+    parser.add_argument("--ppn_lambda", type=str, default=None,
+                        help="PoseProposal loss-weight overrides as "
+                             "k=v[,k=v...] over lmd_{rsp,iou,coor,size,limb} "
+                             "(reference defaults: config_ppn.py)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--input_hw", type=str, default=None,
@@ -132,6 +136,13 @@ def main():
         Config.set_lr_decay(args.lr_decay_every_step, args.lr_decay_factor)
     if args.grad_clip_norm is not None:
         Config.set_grad_clip_norm(args.grad_clip_norm)
+    if args.ppn_lambda:
+        valid = {"lmd_rsp", "lmd_iou", "lmd_coor", "lmd_size", "lmd_limb"}
+        for item in args.ppn_lambda.split(","):
+            k, v = (s.strip() for s in item.split("="))
+            if k not in valid:
+                raise SystemExit(f"--ppn_lambda: unknown key {k!r}")
+            Config._set("model", k, float(v))
 
     config = Config.get_config()
     if args.n_step:
