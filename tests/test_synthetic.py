@@ -148,3 +148,44 @@ def test_val_split_invariant_to_train_size(tmp_path):
     ta = sorted(os.listdir(os.path.join(a, "train2017")))
     tb = sorted(os.listdir(os.path.join(b, "train2017")))
     assert len(tb) == 9 and ta == tb[:3]
+
+
+def test_ensure_accepts_superset_and_train_start(tmp_path):
+    """1) ensure_synthetic_dataset must NOT regenerate (clobbering user
+    data) when the existing dir has >= the requested train scenes (r4
+    advisor finding: eval.py silently rewrote a --synthetic_train_scenes
+    1600 dir back to 400). 2) generate_synthetic_coco(train_start=k)
+    renders exactly the scenes a longer split would have continued with
+    (the held-out tune split of scripts/tune_ppn_decode.py)."""
+    from hyperpose_tpu.data.synthetic import ensure_synthetic_dataset
+
+    root = str(tmp_path / "ds")
+    ensure_synthetic_dataset(root, seed=5, n_train=6, n_val=2)
+    marker = os.path.join(root, ".synthetic_meta.json")
+    before = os.path.getmtime(marker)
+    with open(marker) as f:
+        meta_before = json.load(f)
+
+    # smaller request: accepted as-is, nothing rewritten
+    out = ensure_synthetic_dataset(root, seed=5, n_train=3, n_val=2)
+    assert out == root
+    assert os.path.getmtime(marker) == before
+    with open(marker) as f:
+        assert json.load(f) == meta_before
+    assert len(os.listdir(os.path.join(root, "train2017"))) == 6
+
+    # different seed or larger n_train: regenerates
+    ensure_synthetic_dataset(root, seed=5, n_train=8, n_val=2)
+    assert len(os.listdir(os.path.join(root, "train2017"))) == 8
+
+    # train_start renders the continuation scenes byte-identically
+    tail = str(tmp_path / "tail")
+    generate_synthetic_coco(tail, n_train=3, n_val=0, seed=5,
+                            emit_mpii=False, train_start=5)
+    full = sorted(os.listdir(os.path.join(root, "train2017")))
+    got = sorted(os.listdir(os.path.join(tail, "train2017")))
+    assert got == full[5:8]
+    for fname in got:
+        with open(os.path.join(root, "train2017", fname), "rb") as fa, \
+             open(os.path.join(tail, "train2017", fname), "rb") as fb:
+            assert fa.read() == fb.read(), f"tail scene {fname} differs"
