@@ -4,7 +4,7 @@
 set -u
 cd /root/repo
 
-while pgrep -f "r5_queue3b.sh" >/dev/null 2>&1; do sleep 30; done
+while pgrep -f "r5_queue3c.sh" >/dev/null 2>&1; do sleep 30; done
 
 # 1. backbone pretrain on the synthetic ImageNet twin (real TPU run)
 python pretrain.py --synthetic --model_backbone Vggtiny \
@@ -15,20 +15,20 @@ echo "PRETRAIN DONE rc=$?" >> logs/pretrain_run.log
 
 # 2. plain 5k LW-TinyVGG baseline (same recipe as the dmadapt run)
 python train.py --synthetic --model_type LightweightOpenpose \
-  --model_backbone Vggtiny --model_name synth_lw_plain5k \
-  --batch_size 16 --lr_init 5e-4 --n_step 5000 --log_interval 200 \
-  > logs/lw_plain5k_train.log 2>&1
+  --model_backbone Vggtiny --model_name synth_lw_plain \
+  --batch_size 16 --lr_init 5e-4 --n_step 3500 --log_interval 200 \
+  > logs/lw_plain_train.log 2>&1
 python eval.py --synthetic --model_type LightweightOpenpose \
-  --model_backbone Vggtiny --model_name synth_lw_plain5k --eval_num 100 \
-  > logs/lw_plain5k_eval.log 2>&1
+  --model_backbone Vggtiny --model_name synth_lw_plain --eval_num 100 \
+  > logs/lw_plain_eval.log 2>&1
 
 # 3. domain-adapt run: same recipe + unlabeled domain-shifted split
 python train.py --synthetic --model_type LightweightOpenpose \
-  --model_backbone Vggtiny --model_name synth_lw_dmadapt5k \
+  --model_backbone Vggtiny --model_name synth_lw_dmadapt \
   --domainadapt_data_path ./data_dmadapt \
-  --batch_size 16 --lr_init 5e-4 --n_step 5000 --log_interval 200 \
-  > logs/lw_dmadapt5k_train.log 2>&1
+  --batch_size 16 --lr_init 5e-4 --n_step 3500 --log_interval 200 \
+  > logs/lw_dmadapt_train.log 2>&1
 python eval.py --synthetic --model_type LightweightOpenpose \
-  --model_backbone Vggtiny --model_name synth_lw_dmadapt5k --eval_num 100 \
-  > logs/lw_dmadapt5k_eval.log 2>&1
-echo "QUEUE4 DONE" >> logs/lw_dmadapt5k_eval.log
+  --model_backbone Vggtiny --model_name synth_lw_dmadapt --eval_num 100 \
+  > logs/lw_dmadapt_eval.log 2>&1
+echo "QUEUE4 DONE" >> logs/lw_dmadapt_eval.log

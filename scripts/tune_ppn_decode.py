@@ -63,6 +63,10 @@ def main():
                          "100-scene val protocol")
     ap.add_argument("--smoke", action="store_true",
                     help="2-point grid, for a fast plumbing check")
+    ap.add_argument("--out", default=None,
+                    help="write the best config as JSON to this path "
+                         "(consumed by eval.py --ppn_decoder via "
+                         "scripts/r5 queue automation)")
     args = ap.parse_args()
 
     from hyperpose_tpu import config as Config
@@ -220,6 +224,9 @@ def main():
 
     print("\nBEST (tune split):")
     print(json.dumps({k: getattr(best_cfg, k) for k in keys}, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({k: getattr(best_cfg, k) for k in keys}, f)
     print(f"AP={best['AP']:.3f} AP50={best['AP50']:.3f} "
           f"AP75={best['AP75']:.3f} AR={best['AR']:.3f}")
 
