@@ -4,7 +4,7 @@
 set -u
 cd /root/repo
 
-while pgrep -f "r5_queue3c.sh" >/dev/null 2>&1; do sleep 30; done
+while pgrep -f "r5_queue3d.sh" >/dev/null 2>&1; do sleep 30; done
 
 # 1. backbone pretrain on the synthetic ImageNet twin (real TPU run)
 python pretrain.py --synthetic --model_backbone Vggtiny \
